@@ -1,0 +1,159 @@
+"""Snapshot-versioned parquet table layer (Iceberg stand-in).
+
+The sandbox has no Iceberg runtime jar and no network to fetch one
+(SURVEY.md §7.1), so this module emulates the subset the engine needs —
+append / overwrite with ATOMIC snapshot commit and snapshot-id time
+travel — over partitioned parquet plus a ``_snapshots.json`` manifest.
+Commit protocol: data files are written to a staging directory first,
+then the manifest is replaced via ``os.replace`` (atomic on POSIX), so a
+killed job never exposes a half-written snapshot — the property
+byte-identical resume depends on. In production, swap ``Catalog`` for a
+real Iceberg catalog (``spark.sql.catalog.crawl =
+org.apache.iceberg.spark.SparkCatalog``); engine code only talks to this
+API, never to paths.
+
+This replaces the reference's PostgreSQL persistence + per-unit
+transaction commit (autocommit=False ... conn.commit() at
+New_YouTube_Crawler.py:210,275, New_YouTube_Crawler_Comment.py:386,439).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _dir(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._dir(table), "_snapshots.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"snapshots": [], "current": -1}
+        with open(p) as f:
+            return json.load(f)
+
+    def _commit_manifest(self, table: str, manifest: dict) -> None:
+        os.makedirs(self._dir(table), exist_ok=True)
+        tmp = self._manifest_path(table) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit point
+
+    # -- public API ----------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._manifest_path(table))
+
+    def current_snapshot(self, table: str) -> int:
+        return self._load_manifest(table)["current"]
+
+    def _write_files(self, table: str, df: DataFrame) -> list[str]:
+        stage = os.path.join(self._dir(table), f"stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(stage)
+        data_dir = os.path.join(self._dir(table), "data")
+        os.makedirs(data_dir, exist_ok=True)
+        files = []
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"snap-{uuid.uuid4().hex}-{name.split('-')[1]}.parquet"
+            shutil.move(os.path.join(stage, name), os.path.join(data_dir, dst))
+            files.append(os.path.join("data", dst))
+        shutil.rmtree(stage, ignore_errors=True)
+        return files
+
+    def append(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+        """Append rows as a new snapshot; returns the snapshot id."""
+        files = self._write_files(table, df)
+        m = self._load_manifest(table)
+        prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+        base = prev[0]["files"] if prev else []
+        sid = m["current"] + 1
+        m["snapshots"].append({"id": sid, "files": base + files, "meta": meta or {}})
+        m["current"] = sid
+        self._commit_manifest(table, m)
+        return sid
+
+    def overwrite(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+        """Replace table contents as a new snapshot (old files retained for
+        time travel / resume)."""
+        files = self._write_files(table, df)
+        m = self._load_manifest(table)
+        sid = m["current"] + 1
+        m["snapshots"].append({"id": sid, "files": files, "meta": meta or {}})
+        m["current"] = sid
+        self._commit_manifest(table, m)
+        return sid
+
+    def read(self, table: str, schema: StructType, snapshot: int | None = None) -> DataFrame:
+        """Read a snapshot (default: current). Empty table -> empty DF with
+        the declared schema, so pipelines need no existence branches."""
+        m = self._load_manifest(table)
+        sid = m["current"] if snapshot is None else snapshot
+        snaps = [s for s in m["snapshots"] if s["id"] == sid]
+        files = snaps[0]["files"] if snaps else []
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self._dir(table), f) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def snapshot_meta(self, table: str, snapshot: int) -> dict:
+        m = self._load_manifest(table)
+        for s in m["snapshots"]:
+            if s["id"] == snapshot:
+                return s["meta"]
+        raise KeyError(f"{table}@{snapshot}")
+
+    def data_files(self, table: str, snapshot: int | None = None) -> list[str]:
+        m = self._load_manifest(table)
+        sid = m["current"] if snapshot is None else snapshot
+        snaps = [s for s in m["snapshots"] if s["id"] == sid]
+        return [os.path.join(self._dir(table), f) for f in (snaps[0]["files"] if snaps else [])]
+
+    def content_digest(self, table: str, snapshot: int | None = None) -> str:
+        """Deterministic digest of the table's logical bytes: every data
+        file read in manifest order, rows in file order, hashed via Arrow
+        IPC. Raw file bytes are identical across resumes within one JVM;
+        across JVMs the parquet footer's ``encodings`` list (a parquet-mr
+        hash-set) can reorder, so byte-identity of the DATA is asserted at
+        this level."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        h = hashlib.sha256()
+        for path in self.data_files(table, snapshot):
+            tbl = pq.read_table(path).combine_chunks()
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, tbl.schema) as w:
+                w.write_table(tbl)
+            h.update(sink.getvalue().to_pybytes())
+        return h.hexdigest()
+
+    def rollback(self, table: str, snapshot: int) -> None:
+        """Reset ``current`` to an earlier snapshot and discard later ones
+        (used on resume so a half-finished round's appends are undone;
+        orphaned data files are ignored by the manifest)."""
+        m = self._load_manifest(table)
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] <= snapshot]
+        m["current"] = snapshot
+        self._commit_manifest(table, m)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self._dir(table), ignore_errors=True)

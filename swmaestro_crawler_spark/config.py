@@ -1,0 +1,73 @@
+"""Engine configuration.
+
+All knobs that affect the data path are pinned here so runs are
+reproducible across cluster sizes (the N vs 4N crawl-order/byte-identity
+requirement): partition counts come from config, never from the number of
+cores available at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """Parameters of one crawl run.
+
+    The politeness constants echo the reference's hard-coded governors
+    (0.2 s/API call at New_YouTube_Crawler.py:93, >=6 s/page floor at
+    New_YouTube_Crawler_Comment.py:443-448, retry budget 5 at
+    New_YouTube_Crawler_Comment.py:45-53).
+    """
+
+    # scheduling
+    round_seconds: float = 30.0      # politeness budget window per round
+    max_rounds: int = 3
+    max_depth: int = 4
+    max_attempts: int = 5            # reference: retries=5
+    per_host_cap: int = 1000         # hard cap on admissions per host per round
+
+    # partitioning (fixed, cluster-size independent — required for
+    # deterministic crawl order and byte-identical resume)
+    frontier_partitions: int = 32
+    host_salt: int = 0x5EED          # salted host bucketing (axis B: skew)
+    seen_buckets: int = 64           # bucket count of the exact seen table
+
+    # bloom tier
+    bloom_bits: int = 1 << 22        # 4 Mi bits (test scale); size for n at prod
+    bloom_hashes: int = 5
+
+    # storage
+    warehouse: str = "./warehouse"
+
+    # synthetic web (sandbox transport; swap for an HTTP fetcher in prod)
+    synth_n_hosts: int = 200
+    synth_zipf_s: float = 1.2
+    synth_seed: int = 42
+    synth_fail_prob: float = 0.02    # deterministic per (url, attempt)
+
+
+def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
+    """SparkSession builder with the engine's standard conf.
+
+    AQE on, Arrow on, UTC session timezone (so timestamp semantics match
+    the DuckDB oracle), small broadcast threshold raised so dimension
+    joins broadcast.
+    """
+    from pyspark.sql import SparkSession
+
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    return (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )

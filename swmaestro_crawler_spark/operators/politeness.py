@@ -1,0 +1,111 @@
+"""Per-host politeness as a relational operator.
+
+The reference enforces politeness with wall-clock sleeps — 0.2 s before
+every channels-API call (New_YouTube_Crawler.py:93) and a >=6 s + U(0,1)
+jitter floor per watch page (New_YouTube_Crawler_Comment.py:443-448) —
+one process at a time per identity (supervisor.py:47-67,146-160).
+
+Set-oriented re-expression: each crawl round spans ``round_seconds`` of
+budget, so host h may be fetched at most
+
+    budget(h) = min(per_host_cap, max(1, floor(round_seconds / crawl_delay(h))))
+
+times per round. Admission is a rank-vs-budget filter:
+
+    row_number() OVER (PARTITION BY host ORDER BY priority) <= budget(h)
+
+No sleeping, no per-row Python; rows over budget are deferred to the next
+round (they stay pending). The priority ORDER — (depth DESC, seq ASC,
+url_hash ASC) — realizes the reference's LIFO newest-first continuation
+order ("Ordering matters", New_YouTube_Crawler_Comment.py:162-166) as a
+pure data ordering, so crawl order is identical at any cluster size.
+
+Robots disallow-prefix exclusion covers what the reference hardcodes as
+skip-classes (private/unplayable pages, New_YouTube_Crawler_Comment.py:58-64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..config import CrawlConfig
+from ..schema import ROBOTS
+from ..sources import synth_web
+
+def priority_order():
+    """The engine-wide priority order: LIFO-newest-first (depth DESC), then
+    discovery order within the parent page (seq ASC), then url_hash for a
+    total, cluster-size-independent order."""
+    return [F.col("depth").desc(), F.col("seq").asc(), F.col("url_hash").asc()]
+
+
+def synth_robots(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    rows = [synth_web.robots_for_host(h, cfg) for h in synth_web.hosts(cfg.synth_n_hosts)]
+    return spark.createDataFrame(rows, ROBOTS)
+
+
+def split_robots_excluded(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(allowed, excluded) after the robots disallow-prefix check.
+
+    robots is a per-host dimension — broadcast, so no shuffle of the
+    frontier; the prefix test is a codegen'd EXISTS over the array.
+    """
+    path = F.regexp_replace(F.col("url"), r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
+    ).withColumn(
+        "robots_blocked",
+        F.coalesce(
+            F.exists(
+                F.col("disallow_prefixes"),
+                lambda p: F.startswith(path, p),
+            ),
+            F.lit(False),
+        ),
+    )
+    allowed = joined.filter(~F.col("robots_blocked")).drop("robots_blocked", "disallow_prefixes")
+    excluded = joined.filter(F.col("robots_blocked")).drop("robots_blocked", "disallow_prefixes")
+    return allowed, excluded
+
+
+def host_budget_col(cfg: CrawlConfig):
+    return F.least(
+        F.lit(cfg.per_host_cap),
+        F.greatest(F.lit(1), F.floor(F.lit(cfg.round_seconds) / F.col("crawl_delay_s"))),
+    ).cast("int")
+
+
+def split_admitted(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+    """(admitted, deferred) under the per-host crawl-delay budget."""
+    w = Window.partitionBy("host").orderBy(*priority_order())
+    ranked = (
+        frontier.join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
+        .withColumn("crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0)))
+        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn("host_budget", host_budget_col(cfg))
+    )
+    admitted = ranked.filter(F.col("host_rank") <= F.col("host_budget")).drop(
+        "crawl_delay_s", "host_budget"
+    )
+    deferred = ranked.filter(F.col("host_rank") > F.col("host_budget")).drop(
+        "crawl_delay_s", "host_rank", "host_budget"
+    )
+    return admitted, deferred
+
+
+def dedup_frontier(frontier: DataFrame) -> DataFrame:
+    """One row per url_hash: keep the retry with the highest attempt, then
+    the best priority — deterministic total tie-break.
+
+    Replaces per-row existence probes with a single window dedup
+    (reference: ON CONFLICT DO NOTHING at view_count_crawler.py:140-147).
+    """
+    w = Window.partitionBy("url_hash").orderBy(
+        F.col("attempt").desc(),
+        F.col("depth").desc(),
+        F.col("seq").asc(),
+        F.col("parent").asc_nulls_first(),
+    )
+    return (
+        frontier.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )

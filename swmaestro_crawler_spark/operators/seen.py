@@ -1,0 +1,117 @@
+"""Two-tier URL-seen set: broadcast bloom probe -> exact anti-join confirm.
+
+Replaces the reference's membership structures — Python ``set`` diff before
+insert (Utils/Insert_Nox_Data_to_DB.py:52), ``cid in ret_cids`` list scans
+(New_YouTube_Crawler_Comment.py:275-313), and the per-row
+``SELECT idx FROM comment WHERE comment_id=...`` existence probe
+(New_YouTube_Crawler_Comment.py:414-426) — with:
+
+  tier 1  broadcast bloom bitmap, probed by a vectorized Arrow
+          ``mapInPandas`` stage (numpy bit ops, no row loop). No false
+          negatives: probe-negative rows are definitively unseen and skip
+          the shuffle entirely.
+  tier 2  exact confirm for probe-positives only: left ANTI join against
+          the ``seen`` table on url_hash. The table carries a murmur3_32
+          ``fingerprint`` and a ``bucket = pmod(url_hash, B)`` column
+          (the cuckoo-confirm tier realized as a hash-bucketed join — the
+          idiomatic-Spark equivalent of an in-memory cuckoo filter).
+
+At 10^10 URLs the bloom absorbs the overwhelmingly common "never seen"
+case, so only the tiny probe-positive slice shuffles against the seen
+table; AQE sizes that join at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from ..functions.hashing import bloom_positions_np
+
+
+def empty_bloom(bits: int) -> np.ndarray:
+    return np.zeros(bits // 64, dtype=np.uint64)
+
+
+def bloom_add(bitmap: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """Set bits for an int64 hash array (numpy, vectorized)."""
+    if len(hashes) == 0:
+        return bitmap
+    bits = bitmap.shape[0] * 64
+    pos = bloom_positions_np(np.asarray(hashes, dtype=np.int64), k, bits).ravel()
+    np.bitwise_or.at(bitmap, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    return bitmap
+
+
+def _probe(bitmap: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """Boolean maybe-seen mask; False is definitive (no false negatives)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    bits = bitmap.shape[0] * 64
+    pos = bloom_positions_np(np.asarray(hashes, dtype=np.int64), k, bits)
+    got = (bitmap[(pos >> np.uint64(6)).ravel()] >> (pos & np.uint64(63)).ravel()) & np.uint64(1)
+    return got.reshape(pos.shape).all(axis=1)
+
+
+def build_bloom_distributed(df: DataFrame, bits: int, k: int,
+                            hash_col: str = "url_hash") -> np.ndarray:
+    """Aggregate per-partition bitmaps (associative OR) — one pass over the
+    seen table, used on resume/bootstrap; per-round increments use
+    ``bloom_add`` on the (politeness-bounded) new hashes instead."""
+    def to_bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = empty_bloom(bits)
+        for b in batches:
+            bloom_add(bm, b[hash_col].to_numpy(dtype=np.int64), k)
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = df.select(hash_col).mapInPandas(to_bitmaps, "bm binary").collect()
+    out = empty_bloom(bits)
+    for row in parts:
+        out |= np.frombuffer(row.bm, dtype=np.uint64)
+    return out
+
+
+def bloom_probe(df: DataFrame, bitmap_bc, k: int,
+                hash_col: str = "url_hash", out_col: str = "maybe_seen") -> DataFrame:
+    """Vectorized Arrow probe stage: adds a boolean ``out_col``."""
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.frombuffer(bitmap_bc.value, dtype=np.uint64)
+        for b in batches:
+            b[out_col] = _probe(bm, b[hash_col].to_numpy(dtype=np.int64), k)
+            yield b
+
+    # fresh StructType — df.schema is cached on the DataFrame and .add mutates
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, BooleanType(), False)])
+    return df.mapInPandas(probe, out_schema)
+
+
+def filter_unseen(frontier: DataFrame, seen: DataFrame, bitmap_bc, k: int) -> DataFrame:
+    """frontier rows whose url_hash is NOT in the seen set.
+
+    bloom-negative rows pass through with no shuffle; bloom-positive rows
+    are confirmed by an anti-join on url_hash against the seen table.
+    Result is exactly ``frontier ANTI JOIN seen`` (bloom has no false
+    negatives), just cheaper.
+    """
+    probed = bloom_probe(frontier, bitmap_bc, k)
+    negatives = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_unseen = positives.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return negatives.unionByName(confirmed_unseen)
+
+
+def as_seen_rows(fetched_ok: DataFrame, buckets: int, round_: int) -> DataFrame:
+    """Project fetched URLs into SEEN-schema rows (fingerprint = murmur3_32
+    of the canonical URL via Spark-native F.hash, bucketed for co-located
+    future joins)."""
+    return fetched_ok.select(
+        F.col("url_hash"),
+        F.col("fingerprint"),
+        F.pmod(F.col("url_hash"), F.lit(buckets)).cast("int").alias("bucket"),
+        F.lit(round_).cast("int").alias("round_seen"),
+    )

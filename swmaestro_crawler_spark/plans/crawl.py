@@ -1,0 +1,132 @@
+"""The crawl driver loop: rounds + checkpoint + byte-identical resume.
+
+Replaces the reference supervisor's poll-queue-until-empty loop
+(supervisor.py:70-92,128-138,162-194) with a driver-side round loop whose
+termination aggregate is ``pending.count() == 0`` (SURVEY.md A3/C5).
+
+Checkpoint protocol (per committed round):
+  1. every table append/overwrite commits an atomic snapshot (catalog.py)
+  2. the bloom bitmap is persisted to ``bloom-r{r}.npy``
+  3. ``_crawl_checkpoint.json`` is replaced atomically LAST, recording the
+     round and each table's snapshot id
+Resume rolls every table back to the checkpoint's snapshot ids and re-runs
+from the next round. Because every stage is deterministic (pure-function
+transport, data-derived ordering, fixed partitioning), the re-run writes
+byte-identical files — verified by tests/test_resume.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import Catalog
+from ..config import CrawlConfig
+from ..functions.canonical import with_canonical
+from ..operators.politeness import synth_robots
+from ..operators.seen import empty_bloom
+from ..schema import FRONTIER, ROBOTS
+from .round import FRONTIER_COLS, RoundResult, _part_by_hash, run_round
+
+TABLES = ("pending", "seen", "spans", "dead", "crawl_order", "metrics", "robots")
+
+
+def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
+    """Seed rows -> round-0 frontier. Priority within a host follows seed
+    rank (Utils/Nox_Crawler.py:98-113: top-500 rank orders)."""
+    return (
+        seeds.transform(with_canonical)
+        .select(
+            "url",
+            "url_hash",
+            "host",
+            F.lit(0).cast("int").alias("depth"),
+            F.col("rank").cast("long").alias("seq"),
+            F.lit(0).cast("int").alias("round"),
+            F.lit(0).cast("int").alias("attempt"),
+            F.lit(None).cast("string").alias("parent"),
+        )
+    )
+
+
+class Crawl:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.cat = Catalog(spark, cfg.warehouse)
+
+    # -- checkpoint ----------------------------------------------------------
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.cat.warehouse, "_crawl_checkpoint.json")
+
+    def _bloom_path(self, r: int) -> str:
+        return os.path.join(self.cat.warehouse, f"bloom-r{r}.npy")
+
+    def _write_checkpoint(self, r: int, bloom: np.ndarray) -> None:
+        np.save(self._bloom_path(r), bloom)
+        ckpt = {
+            "round": r,
+            "snapshots": {t: self.cat.current_snapshot(t) for t in TABLES},
+            "bloom": os.path.basename(self._bloom_path(r)),
+        }
+        tmp = self._ckpt_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ckpt, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._ckpt_path)
+
+    def _load_checkpoint(self) -> dict | None:
+        if not os.path.exists(self._ckpt_path):
+            return None
+        with open(self._ckpt_path) as f:
+            return json.load(f)
+
+    # -- lifecycle -------------------------------------------------------------
+    def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None) -> None:
+        """Initialize crawl state (round -1 checkpoint = empty-but-seeded)."""
+        robots = robots if robots is not None else synth_robots(self.spark, self.cfg)
+        self.cat.overwrite("robots", robots.repartition(1).sortWithinPartitions("host"))
+        frontier = seeds_to_frontier(seeds)
+        self.cat.overwrite(
+            "pending",
+            _part_by_hash(frontier, self.cfg.frontier_partitions).sortWithinPartitions(
+                "url_hash", "attempt", "depth", "seq", "parent"
+            ),
+            meta={"round": 0},
+        )
+        for t in ("seen", "spans", "dead", "crawl_order", "metrics"):
+            # materialize an empty snapshot 0 so resume rollback has a target
+            self.cat._commit_manifest(
+                t, {"snapshots": [{"id": 0, "files": [], "meta": {}}], "current": 0}
+            )
+        self._write_checkpoint(-1, empty_bloom(self.cfg.bloom_bits))
+
+    def resume_or_bootstrap(self, seeds: DataFrame) -> tuple[int, np.ndarray]:
+        """Returns (next_round, bloom). Rolls tables back to the last
+        committed checkpoint if a later, uncommitted round left appends."""
+        ckpt = self._load_checkpoint()
+        if ckpt is None:
+            self.bootstrap(seeds)
+            ckpt = self._load_checkpoint()
+        for t, sid in ckpt["snapshots"].items():
+            if self.cat.current_snapshot(t) != sid:
+                self.cat.rollback(t, sid)
+        bloom = np.load(os.path.join(self.cat.warehouse, ckpt["bloom"]))
+        return ckpt["round"] + 1, bloom
+
+    def run(self, seeds: DataFrame, rounds: int | None = None) -> list[RoundResult]:
+        """Run (or resume) the crawl for up to ``rounds`` rounds."""
+        rounds = rounds if rounds is not None else self.cfg.max_rounds
+        start, bloom = self.resume_or_bootstrap(seeds)
+        robots = self.cat.read("robots", ROBOTS)
+        results: list[RoundResult] = []
+        for r in range(start, rounds):
+            if self.cat.read("pending", FRONTIER).isEmpty():
+                break  # frontier drained — reference: queue len == 0
+            res = run_round(self.spark, self.cat, self.cfg, r, robots, bloom)
+            self._write_checkpoint(r, bloom)
+            results.append(res)
+        return results
