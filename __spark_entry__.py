@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship crawl pipeline end-to-end on a deterministic
+synthetic web and returns the interleaved span documents. ``queries`` /
+``oracle_sql`` expose the engine's operator battery (SURVEY.md §2 +
+training-data ops) with DuckDB oracles; pairs marked rows-only in their
+module (SQL=None) are genuinely non-SQL-expressible (binary-UDF
+multimodal stage, float-centroid assignment).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: a two-round crawl — frontier dedup (bloom+anti-join),
+    robots + politeness budget admission, salted host-bucket batch fetch,
+    interleaved span extraction — returning the spans table exploded to
+    one row per span (doc_id, offset, kind, text, media_ref)."""
+    from swmaestro_crawler_spark.config import CrawlConfig
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.schema import SPANS_DOC
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    cfg = CrawlConfig(
+        round_seconds=6.0,
+        max_rounds=2,
+        max_depth=2,
+        frontier_partitions=8,
+        bloom_bits=1 << 18,
+        synth_n_hosts=20,
+        warehouse=tempfile.mkdtemp(prefix="crawl_wh_"),
+    )
+    crawl = Crawl(spark, cfg)
+    crawl.run(spark.createDataFrame(make_seeds(cfg, 40)), rounds=cfg.max_rounds)
+    spans = crawl.cat.read("spans", SPANS_DOC)
+    return spans.select(
+        "doc_id",
+        F.col("round"),
+        F.posexplode("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        "round",
+        F.col("span.offset").alias("offset"),
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+def _all_modules():
+    from swmaestro_crawler_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text_analysis,
+    )
+    from swmaestro_crawler_spark.streaming import stream_metrics
+
+    return (relational, dedup, text_analysis, similarity, multimodal, stream_metrics)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _all_modules():
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _all_modules():
+        for name, (_fn, sql) in mod.QUERIES.items():
+            if sql is not None:
+                out[name] = sql
+    return out

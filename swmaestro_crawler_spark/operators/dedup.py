@@ -1,0 +1,367 @@
+"""Corpus deduplication operators: exact, keep-first, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Generalizes the reference's dedup machinery — Python set difference before
+insert (Utils/Insert_Nox_Data_to_DB.py:52), (comment_id, video_idx)
+existence probe (New_YouTube_Crawler_Comment.py:414-426), ON CONFLICT DO
+NOTHING (view_count_crawler.py:140-147) — to the near-duplicate detection
+a training-data pipeline needs at corpus scale.
+
+Every operator is a pure Spark-native plan (codegen'd array/hash
+expressions, hash-partitioned self-joins; zero Python UDFs) and ships with
+a DuckDB oracle SQL string built from the same constants, so the driver's
+correctness gate checks values to the last bit (the md5-prefix word hash
+is engine-independent).
+
+Scale notes (10^10-doc design point):
+- signatures are one narrow shuffle (explode -> groupBy doc) with
+  map-side partial min; band join shuffles only (band_idx, band_key,
+  doc_id) — never text;
+- LSH band join is the classic shingle->minhash->band->bucket-join plan:
+  candidate pairs ~ O(true dups), not O(n^2);
+- n-gram Jaccard is blocked on (lang, source) to bound the quadratic
+  verify stage, mirroring LSH-bucket semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import SQL_WORD_HASH, SQL_WORDS, word_hash, words
+from ..sources.testdata import load
+
+# MinHash: k hash functions h_j(w) = (A[j]*wh + B[j]) mod P over the
+# 32-bit word hash. A[j] < 2^27 keeps A*wh < 2^59 — no 64-bit overflow in
+# either engine (DuckDB errors on BIGINT overflow; Spark wraps silently).
+MINHASH_P = 2_147_483_647
+MINHASH_A = (48271, 69621, 16807, 40692, 65539, 22695477, 134775813, 214013)
+MINHASH_B = (1, 7, 13, 31, 61, 127, 251, 509)
+MINHASH_K = len(MINHASH_A)
+LSH_BANDS = 4  # rows-per-band = 2
+LSH_MIN_MATCH = 4  # of 8 signatures
+SIMHASH_BITS = 16
+JACCARD_NGRAM = 3
+JACCARD_MIN = 0.30
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w) distinct word set per document."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .distinct()
+    )
+
+
+_SQL_DOC_WORDS = (
+    "SELECT DISTINCT doc_id, unnest(" + SQL_WORDS.format(c="text") + ") AS w FROM documents"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w) distinct word-3-gram shingles — MinHash over shingles,
+    not unigrams: the synthetic corpus shares one small vocabulary, so
+    unigram sets saturate (everything looks like a near-dup); 3-grams
+    discriminate (planted near-dups at Jaccard ~0.97, noise <= 0.02)."""
+    docs = load(spark, sf_dir, "documents").withColumn("ws", words(F.col("text"))).filter(
+        F.size(F.col("ws")) >= JACCARD_NGRAM
+    )
+    shingle = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("ws")) - JACCARD_NGRAM),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("ws"), (i + j + 1).cast("int")) for j in range(JACCARD_NGRAM)],
+        ),
+    )
+    return docs.select("doc_id", F.explode(shingle).alias("w")).distinct()
+
+
+def _sql_doc_shingles() -> str:
+    ws = SQL_WORDS.format(c="text")
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(JACCARD_NGRAM))
+    return f"""
+SELECT DISTINCT doc_id, unnest(list_transform(
+         generate_series(1, len(ws) - {JACCARD_NGRAM - 1}), i -> {parts})) AS w
+FROM (SELECT doc_id, {ws} AS ws FROM documents)
+WHERE len(ws) >= {JACCARD_NGRAM}"""
+
+
+_SQL_DOC_SHINGLES = _sql_doc_shingles()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def q_dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one representative (min doc_id) per
+    distinct text, with the group size."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("rep_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT_TEXT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_keepfirst_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on a stream key: earliest event per
+    (user_id, event_type) — the engine's 'first observation wins' rule
+    (reference: insert_video returns false on seen,
+    New_YouTube_Crawler.py:263-270)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+SQL_DEDUP_KEEPFIRST_EVENTS = """
+SELECT user_id, event_type, event_id FROM (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dw = _doc_shingles(spark, sf_dir).withColumn("wh", word_hash(F.col("w")))
+    aggs = [
+        F.min((F.lit(a) * F.col("wh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return dw.groupBy("doc_id").agg(*aggs)
+
+
+def _sql_signatures() -> str:
+    wh = SQL_WORD_HASH.format(c="w")
+    mins = ", ".join(
+        f"min(({a} * {wh} + {b}) % {MINHASH_P}) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SQL_DOC_SHINGLES}) GROUP BY doc_id"
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures(spark, sf_dir)
+
+
+SQL_MINHASH_SIGNATURES = _sql_signatures()
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle -> minhash -> band -> bucket self-join -> verify.
+
+    Bands of 2 signatures; candidate pairs sharing any band bucket are
+    verified by exact signature agreement (>= LSH_MIN_MATCH of 8 ~
+    estimated Jaccard >= 0.5)."""
+    sigs = _signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.concat_ws("_", F.col(f"mh{2 * i}"), F.col(f"mh{2 * i + 1}")).alias(
+                            "band_key"
+                        ),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    pairs = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(MINHASH_K)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(MINHASH_K)])
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(MINHASH_K)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_match", n_match.cast("int"))
+        .filter(F.col("n_match") >= LSH_MIN_MATCH)
+        .select("doc_a", "doc_b", "n_match")
+    )
+
+
+def _sql_lsh_pairs() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, "
+        f"concat_ws('_', mh{2 * i}, mh{2 * i + 1}) AS band_key FROM sigs"
+        for i in range(LSH_BANDS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K)
+    )
+    return f"""
+WITH sigs AS ({_sql_signatures()}),
+bands AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, CAST({n_match} AS INT) AS n_match
+FROM pairs JOIN sigs a ON pairs.doc_a = a.doc_id
+           JOIN sigs b ON pairs.doc_b = b.doc_id
+WHERE {n_match} >= {LSH_MIN_MATCH}
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _sql_lsh_pairs()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the distinct word set: bit b is the sign of
+    sum(+1/-1 for bit b of each word hash), packed into one int."""
+    dw = _doc_words(spark, sf_dir).withColumn("wh", word_hash(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = dw.groupBy("doc_id").agg(*bit_sums)
+    packed = sum(
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    )
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    wh = SQL_WORD_HASH.format(c="w")
+    sums = ", ".join(
+        f"sum(CASE WHEN (({wh} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH agg AS (SELECT doc_id, {sums} FROM ({_SQL_DOC_WORDS}) GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM agg
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked quadratic verify)
+# ---------------------------------------------------------------------------
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingle Jaccard over pairs blocked on (lang, source).
+
+    Jaccard is a ratio of INTEGER set sizes — bit-identical across
+    engines, so the threshold cannot flake."""
+    docs = load(spark, sf_dir, "documents").withColumn("ws", words(F.col("text"))).filter(
+        F.size(F.col("ws")) >= JACCARD_NGRAM  # guard: sequence() must not descend
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("ws")) - JACCARD_NGRAM),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("ws"), (i + j + 1).cast("int")) for j in range(JACCARD_NGRAM)],
+            ),
+        )
+    )
+    sh = docs.select("doc_id", "lang", "source", shingles.alias("sh"))
+    a = sh.select("lang", "source", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select("lang", "source", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_distinct(F.concat(F.col("sh_a"), F.col("sh_b"))))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # threshold on the UNROUNDED exact rational (int/int) — identical in
+        # both engines; round only for display
+        .filter((inter / union) >= JACCARD_MIN)
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _sql_jaccard() -> str:
+    ws = SQL_WORDS.format(c="text")
+    shingle_parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(JACCARD_NGRAM))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - {JACCARD_NGRAM - 1}),
+           i -> {shingle_parts})) AS sh
+  FROM (SELECT doc_id, lang, source, {ws} AS ws FROM documents)
+  WHERE len(ws) >= {JACCARD_NGRAM})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+                   AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(a.sh || b.sh)) >= {JACCARD_MIN}
+"""
+
+
+SQL_NGRAM_JACCARD_PAIRS = _sql_jaccard()
+
+
+# ---------------------------------------------------------------------------
+# text fingerprint (polynomial-min/max + size — a rolling-hash-style
+# document signature, cross-engine exact)
+# ---------------------------------------------------------------------------
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dw = _doc_words(spark, sf_dir).withColumn("wh", word_hash(F.col("w")))
+    return dw.groupBy("doc_id").agg(
+        F.min("wh").alias("fp_min"),
+        F.max("wh").alias("fp_max"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+
+
+SQL_TEXT_FINGERPRINT = f"""
+SELECT doc_id, min(wh) AS fp_min, max(wh) AS fp_max,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM (SELECT doc_id, {SQL_WORD_HASH.format(c='w')} AS wh FROM ({_SQL_DOC_WORDS}))
+GROUP BY doc_id
+"""
+
+QUERIES = {
+    "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
+    "dedup_keepfirst_events": (q_dedup_keepfirst_events, SQL_DEDUP_KEEPFIRST_EVENTS),
+    "dedup_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+}

@@ -1,0 +1,405 @@
+"""Relational operator battery over the driver test tables.
+
+Each query re-expresses one reference operator family (SURVEY.md §2) as a
+declarative Spark plan with a DuckDB oracle:
+
+- frontier scans with pushed predicates (S1-S3, P1-P3)
+- FK lookup joins the reference runs as per-row subqueries (J1-J3)
+- anti/semi-join dedup and set ops (J4-J7, U1-U3)
+- relevance-ordered top-k per group (O1, A4)
+- hash aggregation / metrics time series (A1-A5, K2, C8)
+- scalar string/date/int surgery (F5, F8, F10, F13, F14)
+- the politeness budget rank-vs-quota operator on a generic table (C1)
+
+Numeric policy for bit-exact oracle agreement: money/quantity columns are
+2dp-exact — each element is cast to DECIMAL before SUM (exact integer
+arithmetic in BOTH engines), the final value cast back to DOUBLE and
+rounded; no float accumulation order can flake the compare. Timestamps are
+emitted as formatted strings so session-timezone conventions can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.testdata import load
+
+
+def _dec(c, scale=2):
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — pricing summary (hash agg with map-side partials; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# S3/P3 — recency-horizon frontier scan (reference: videos <= 1 month old,
+# sendToRabbitMQ.py:37-41) with the horizon anchored to max(o_orderdate)
+# so the query is reproducible
+# ---------------------------------------------------------------------------
+def q_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    horizon = orders.agg(
+        F.date_sub(F.max("o_orderdate").cast("date"), 30).alias("h")
+    )
+    return (
+        orders.crossJoin(F.broadcast(horizon))
+        .filter(F.col("o_orderdate").cast("date") >= F.col("h"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_RECENT_ORDERS = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >=
+      (SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 30 DAY FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1/J3 — FK lookup join chain (reference: per-row
+# ``(SELECT idx FROM channel WHERE channel_id=...)``,
+# New_YouTube_Crawler.py:133-135) as broadcast hash joins
+# ---------------------------------------------------------------------------
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2).alias("revenue"),
+        )
+    )
+
+
+SQL_REVENUE_PER_NATION = """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# J4/J5/U1 — anti-join dedup (reference: set difference before insert,
+# Utils/Insert_Nox_Data_to_DB.py:52; existence probe,
+# New_YouTube_Crawler_Comment.py:414-426)
+# ---------------------------------------------------------------------------
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+# J7/U2 — semi-join overlap (reference: set intersection dup count,
+# Utils/Insert_Nox_Data_to_DB.py:62)
+def q_parts_both_suppliers_and_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    has_li = p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+    return has_li.select("p_partkey", "p_brand")
+
+
+SQL_PARTS_BOTH = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+# U1/U3 — set ops: nations with customers but no suppliers, via EXCEPT
+def q_nations_cust_minus_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).exceptAll(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    ).distinct()
+
+
+SQL_NATIONS_CUST_MINUS_SUPP = """
+SELECT DISTINCT nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey AS nationkey FROM supplier)
+"""
+
+
+def q_party_counts_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    u = c.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("kind")).unionByName(
+        s.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("kind"))
+    )
+    return u.groupBy("nationkey", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_PARTY_COUNTS_UNION = """
+SELECT nationkey, kind, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+GROUP BY nationkey, kind
+"""
+
+
+# ---------------------------------------------------------------------------
+# O1/A4 — relevance-ordered top-k per group (reference: top-100 comments
+# per video, New_YouTube_Crawler_Comment.py:184-187)
+# ---------------------------------------------------------------------------
+def q_top5_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rnk")
+    )
+
+
+SQL_TOP5_ORDERS_PER_PRIORITY = """
+SELECT o_orderpriority, o_orderkey, rnk FROM (
+  SELECT o_orderpriority, o_orderkey,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# K2/C8/A3 — metrics time series: daily observation counts (reference:
+# video_views/channel_subscriber appends keyed by check_time,
+# New_YouTube_Crawler.py:132-135)
+# ---------------------------------------------------------------------------
+def q_daily_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(_dec(F.col("value"), 4)).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_DAILY_EVENT_METRICS = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# window lag: inter-event gap per user (streaming sessionization primitive)
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # microsecond-exact epoch (ts is TIMESTAMP_NTZ; session tz pinned UTC),
+    # matching DuckDB's epoch_us — whole-second casts would round vs
+    # truncate differently across engines
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_id", "user_id", "gap_us")
+    )
+
+
+SQL_USER_EVENT_GAPS = """
+SELECT event_id, user_id, gap_us FROM (
+  SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+  FROM events) WHERE gap_us IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5/F8/F10/F13/F14 — scalar surgery: comma-grouped int parse
+# (New_YouTube_Crawler_Comment.py:93-118), date diff arithmetic
+# (New_YouTube_Crawler.py:249-262), truncation
+# (YouTube_Crawler.py:428-429), id-from-string (Nox_Crawler.py:86-87)
+# ---------------------------------------------------------------------------
+def q_scalar_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    j = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_linenumber") == 1
+    )
+    # floor (not round) before comma-grouping: double->int rounding is
+    # HALF_UP in Spark but banker's in DuckDB; floor agrees everywhere
+    commas = F.format_number(F.floor(F.col("o_totalprice")).cast("long"), 0)
+    return j.select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_ship"
+        ),
+        F.substring(F.col("o_orderpriority"), 1, 3).alias("prio_code"),
+        F.regexp_replace(commas, ",", "").cast("long").alias("price_reparsed"),
+        F.element_at(F.split(F.col("o_orderpriority"), "-"), -1).alias("prio_word"),
+    )
+
+
+SQL_SCALAR_SURGERY = """
+SELECT l_orderkey,
+       datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS days_to_ship,
+       substr(o_orderpriority, 1, 3) AS prio_code,
+       CAST(replace(format('{:,}', CAST(floor(o_totalprice) AS BIGINT)), ',', '') AS BIGINT)
+         AS price_reparsed,
+       list_extract(string_split(o_orderpriority, '-'), -1) AS prio_word
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_linenumber = 1
+"""
+
+
+# F6 — JSON payload field extraction (reference: Data-API JSON traversal,
+# New_YouTube_Crawler.py:101-105)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.max(k).alias("max_k")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT (json_extract_string(props, '$.k')::BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# C1 — the politeness budget operator applied to a generic stream: admit
+# at most budget(type) earliest events per (day, event_type); quota by
+# type mirrors crawl_delay -> budget (New_YouTube_Crawler.py:93)
+# ---------------------------------------------------------------------------
+BUDGETS = {"click": 50, "view": 30, "purchase": 5, "signup": 5, "error": 1}
+
+
+def q_budget_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    budget = F.coalesce(
+        *[F.when(F.col("event_type") == t, F.lit(b)) for t, b in BUDGETS.items()],
+        F.lit(10),
+    )
+    w = Window.partitionBy(F.date_format("ts", "yyyy-MM-dd"), F.col("event_type")).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= budget)
+        .select("event_id", "event_type", "rnk")
+    )
+
+
+def _sql_budget_admission() -> str:
+    cases = " ".join(f"WHEN event_type = '{t}' THEN {b}" for t, b in BUDGETS.items())
+    return f"""
+SELECT event_id, event_type, rnk FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY strftime(ts, '%Y-%m-%d'), event_type
+                            ORDER BY ts ASC, event_id ASC) AS rnk
+  FROM events)
+WHERE rnk <= (CASE {cases} ELSE 10 END)
+"""
+
+
+SQL_BUDGET_ADMISSION = _sql_budget_admission()
+
+
+# span explode — the interleaved-document TVF shape (X1-X6 analog):
+# word spans with dense offsets from the flat documents precursor
+def q_span_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import words
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(words(F.col("text"))).alias("offset", "span_text"))
+        .filter(F.col("offset") < 8)
+        .withColumn("kind", F.lit("text"))
+        .select("doc_id", "offset", "kind", "span_text")
+    )
+
+
+SQL_SPAN_EXPLODE = """
+SELECT doc_id, CAST(o - 1 AS INT) AS offset, 'text' AS kind, w AS span_text
+FROM (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w,
+         generate_subscripts(list_filter(string_split(text, ' '), w -> w <> ''), 1) AS o
+  FROM documents)
+WHERE o <= 8
+"""
+
+QUERIES = {
+    "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
+    "revenue_per_nation_join": (q_revenue_per_nation, SQL_REVENUE_PER_NATION),
+    "customers_without_orders_anti": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "parts_with_lineitems_semi": (q_parts_both_suppliers_and_lineitems, SQL_PARTS_BOTH),
+    "nations_cust_minus_supp_except": (q_nations_cust_minus_supp, SQL_NATIONS_CUST_MINUS_SUPP),
+    "party_counts_union": (q_party_counts_union, SQL_PARTY_COUNTS_UNION),
+    "top5_orders_per_priority": (q_top5_orders_per_priority, SQL_TOP5_ORDERS_PER_PRIORITY),
+    "daily_event_metrics": (q_daily_event_metrics, SQL_DAILY_EVENT_METRICS),
+    "user_event_gaps_window": (q_user_event_gaps, SQL_USER_EVENT_GAPS),
+    "scalar_surgery": (q_scalar_surgery, SQL_SCALAR_SURGERY),
+    "json_extract_agg": (q_json_extract, SQL_JSON_EXTRACT),
+    "budget_admission": (q_budget_admission, SQL_BUDGET_ADMISSION),
+    "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
+}

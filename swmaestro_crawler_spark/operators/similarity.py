@@ -1,0 +1,182 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed
+near-dup pairs.
+
+Engine-new capability (the reference stores only flattened scalars): ANN
+over an ``array<float>`` column for training-data curation. All
+Spark-native — the dot product is ``aggregate(zip_with(...))`` in DOUBLE
+(sequential fold, deterministic), norms likewise; zero Python UDFs.
+
+Scale path: sign-random-projection buckets (here: sign bits of the first
+SIGN_BITS dimensions — a deterministic, engine-portable projection) turn
+the O(n^2) pair space into per-bucket blocks; the brute-force variant is
+the small-n baseline and the verifier inside each block.
+
+Outputs are integer ids/ranks, never raw cosines, so the DuckDB oracle
+(which may sum in a different order) can only disagree if two similarities
+collide within float noise — ties are broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..sources.testdata import load
+
+TOPK = 10
+N_QUERIES = 10  # vec_id < N_QUERIES form the query set
+SIGN_BITS = 8
+NEARDUP_MIN_COS = 0.40
+
+
+def _as_double(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+SQL_COSINE = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+)
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+
+
+_SQL_VECS = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k by cosine for the first N_QUERIES vectors.
+    The cross join is broadcast (query side is tiny); rank ties broken by
+    neighbor id for determinism."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH vecs AS ({_SQL_VECS}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {SQL_COSINE.format(a='q.v', b='c.v')} AS cos
+  FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES})
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored) WHERE rnk <= {TOPK}
+"""
+
+
+def sign_bucket(v: Column) -> Column:
+    """Deterministic LSH bucket: sign bits of the first SIGN_BITS dims."""
+    bits = [
+        F.when(F.element_at(v, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIGN_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _sql_sign_bucket(v: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {v}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIGN_BITS)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embeddings: candidate pairs share a sign-projection
+    bucket (the scale path — per-bucket blocks, not O(n^2)), verified by
+    exact cosine >= NEARDUP_MIN_COS."""
+    vecs = _vecs(spark, sf_dir).withColumn("bucket", sign_bucket(F.col("v")))
+    a = vecs.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("label").alias("la")
+    )
+    b = vecs.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("label").alias("lb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= NEARDUP_MIN_COS)
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.col("la") == F.col("lb")).cast("int").alias("same_label"),
+        )
+    )
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = f"""
+WITH vecs AS (SELECT *, {_sql_sign_bucket('v')} AS bucket FROM ({_SQL_VECS}))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(a.label = b.label AS INT) AS same_label
+FROM vecs a JOIN vecs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {SQL_COSINE.format(a='a.v', b='b.v')} >= {NEARDUP_MIN_COS}
+"""
+
+
+def q_label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: nearest label-centroid per vector
+    (integer outputs). Centroids are exact per-dimension means computed in
+    a deterministic two-level avg; assignment is argmin over 10 centroids."""
+    vecs = _vecs(spark, sf_dir)
+    dims = vecs.select(
+        "label", F.posexplode(F.col("v")).alias("dim", "x")
+    )
+    cents = (
+        dims.groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn("c", F.col("s") / F.col("n"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(F.col("label").alias("clabel"), F.transform("dc", lambda s: s["c"]).alias("cv"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "clabel",
+        cosine(F.col("v"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("clabel").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("clabel").alias("nearest_label"))
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
+    "embedding_centroid_assign": (q_label_centroid_topk, None),  # float sums: rows-only check
+}

@@ -1,0 +1,108 @@
+"""Text-analysis queries over the documents corpus: token stats, quality
+scoring, language-ID.
+
+Engine-new capabilities for training-data curation (the reference's text
+handling stops at SQL-escaping and truncation,
+New_YouTube_Crawler_Comment.py:351-362,
+Selenium_YouTube_Crawler/YouTube_Crawler.py:428-429). All Spark-native
+array/string expressions; DuckDB oracles built from the same constants in
+functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.text import (
+    SQL_BPE_COUNT,
+    SQL_WORDS,
+    bpe_token_count,
+    lang_guess,
+    sql_lang_guess,
+    words,
+)
+from ..sources.testdata import load
+
+_WS = SQL_WORDS.format(c="text")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counting (SURVEY.md training-data
+    ops). n_chars cross-checks the table's own metadata column."""
+    d = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_types"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        (F.length("text") == F.col("n_chars")).cast("int").alias("chars_match"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len({_WS}) AS n_tokens,
+       len(list_distinct({_WS})) AS n_types,
+       {SQL_BPE_COUNT.format(c='text')} AS bpe_tokens,
+       CAST(length(text) = n_chars AS INT) AS chars_match
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: mean word length, type-token ratio, stopword
+    ratio — all exact rationals of integer counts, then one rounded score."""
+    d = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    stop_hits = F.size(F.filter(ws, lambda w: w.isin("the", "a")))
+    base = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(ws)).alias("n_types"),
+        stop_hits.alias("n_stop"),
+        F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w)).alias("sum_wlen"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.select(
+        "doc_id",
+        F.round(F.col("sum_wlen") / F.col("n_tokens"), 4).alias("avg_word_len"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("type_token_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         len(list_distinct(ws)) AS n_types,
+         len(list_filter(ws, w -> w IN ('the', 'a'))) AS n_stop,
+         list_reduce(list_prepend(0, list_transform(ws, w -> length(w))),
+                     (acc, x) -> acc + x) AS sum_wlen
+  FROM (SELECT doc_id, {_WS} AS ws FROM documents)
+  WHERE len(ws) > 0)
+SELECT doc_id,
+       round(sum_wlen::DOUBLE / n_tokens, 4) AS avg_word_len,
+       round(n_types::DOUBLE / n_tokens, 4) AS type_token_ratio,
+       round(n_stop::DOUBLE / n_tokens, 4) AS stopword_ratio
+FROM base
+"""
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", lang_guess(words(F.col("text"))).alias("lang_guess")
+    )
+
+
+SQL_LANG_GUESS = f"""
+SELECT doc_id, lang, {sql_lang_guess(_WS)} AS lang_guess FROM documents
+"""
+
+QUERIES = {
+    "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "text_lang_guess": (q_lang_guess, SQL_LANG_GUESS),
+}

@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion of the metrics/event stream.
+
+The reference's 'streaming' is competing RabbitMQ consumers polling one
+message at a time (New_YouTube_Crawler_Channel_Updater.py:23-51). Here the
+same shape is a readStream source -> event-time windowed aggregation with
+a watermark for late data -> sink. The batch engine remains the core
+(crawl rounds are batch, SURVEY.md §1.5); this module is the streaming
+face of the metrics tables (K2/C8).
+
+``availableNow`` + complete-mode memory sink makes the streaming result
+exactly equal the batch aggregation over the same files, which is how the
+driver's DuckDB oracle can check a genuinely-streaming query.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (1 day) per-type event counts with a 1h watermark,
+    processed as a stream of parquet files and drained with availableNow."""
+    # FileStreamSource requires a DIRECTORY; the testdata table is a single
+    # file, so stage a symlink dir (no data copied)
+    stage = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stage, "events.parquet"),
+    )
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        # watermarks need an instant (TIMESTAMP, not NTZ); session tz is UTC
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAM_DAILY_EVENT_COUNTS = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "streaming_daily_event_counts": (
+        lambda spark, sf_dir: stream_daily_event_counts(spark, sf_dir),
+        SQL_STREAM_DAILY_EVENT_COUNTS,
+    ),
+}
