@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` (default 32),
+plus the flagship crawl pipeline (3 rounds over the deterministic
+synthetic web), and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``crawl`` (URLs fetched+deduped/sec and per-core rate — the
+BASELINE.json headline metric) and ``cpus``. Each query is forced with a
+noop-format write so the full plan executes without driver-side collect.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    out: dict[str, float] = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3) -> dict:
+    """Flagship crawl at bench scale; returns throughput facts.
+
+    "URLs fetched+deduped/sec" counts every URL the round pipeline
+    disposed of: fetched ok, failed (retry-scheduled), robots-excluded,
+    and bloom/anti-join deduplicated frontier candidates.
+    """
+    from swmaestro_crawler_spark.config import CrawlConfig
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    wh = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(
+        round_seconds=120.0,
+        max_rounds=rounds,
+        max_depth=4,
+        per_host_cap=2000,
+        frontier_partitions=32,
+        seen_buckets=64,
+        bloom_bits=1 << 24,
+        synth_n_hosts=500,
+        warehouse=wh,
+    )
+    try:
+        crawl = Crawl(spark, cfg)
+        t0 = time.perf_counter()
+        results = crawl.run(spark.createDataFrame(make_seeds(cfg, seeds)), rounds=rounds)
+        wall = time.perf_counter() - t0
+        fetched = sum(r.fetched_ok for r in results)
+        processed = sum(
+            r.admitted + r.excluded + r.deferred for r in results
+        )  # every URL the scheduler disposed of this round
+        return {
+            "wall_s": round(wall, 3),
+            "rounds": len(results),
+            "fetched_ok": fetched,
+            "processed": processed,
+            "urls_per_sec": round(processed / wall, 1),
+            "fetched_per_sec": round(fetched / wall, 1),
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from swmaestro_crawler_spark.config import spark_builder
+
+    spark = spark_builder("bench", master=f"local[{cpus}]", shuffle_partitions=32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = run_queries(spark, sf_dir)
+    t0 = time.perf_counter()
+    crawl = run_crawl(spark)
+    queries["crawl_3round"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                "crawl": crawl,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

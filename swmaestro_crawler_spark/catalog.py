@@ -112,6 +112,15 @@ class Catalog:
         paths = [os.path.join(self._dir(table), f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def row_count(self, table: str, snapshot: int | None = None) -> int:
+        """Row count from parquet footer metadata — no Spark job (the
+        Iceberg analogue reads it from manifest stats)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows for p in self.data_files(table, snapshot)
+        )
+
     def snapshot_meta(self, table: str, snapshot: int) -> dict:
         m = self._load_manifest(table)
         for s in m["snapshots"]:

@@ -33,6 +33,7 @@ class CrawlConfig:
     # deterministic crawl order and byte-identical resume)
     frontier_partitions: int = 32
     host_salt: int = 0x5EED          # salted host bucketing (axis B: skew)
+    admission_salts: int = 16        # sub-buckets per host in two-phase top-k
     seen_buckets: int = 64           # bucket count of the exact seen table
 
     # bloom tier

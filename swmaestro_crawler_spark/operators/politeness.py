@@ -76,20 +76,39 @@ def host_budget_col(cfg: CrawlConfig):
 
 
 def split_admitted(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
-    """(admitted, deferred) under the per-host crawl-delay budget."""
-    w = Window.partitionBy("host").orderBy(*priority_order())
-    ranked = (
+    """(admitted, deferred) under the per-host crawl-delay budget.
+
+    Skew-safe two-phase top-k (axis B): a Zipf-hot host can hold most of
+    the frontier, and a single ``Window.partitionBy(host)`` would drag all
+    of its rows through one reducer. Phase 1 ranks within
+    ``(host, pmod(url_hash, S))`` — S salted sub-buckets spread the hot
+    host over S reducers — and keeps each sub-bucket's top ``budget``
+    (any row in the host's global top-budget is necessarily in its
+    sub-bucket's top-budget, so no admissible row is lost). Phase 2 ranks
+    the survivors (≤ S × budget rows per host, bounded regardless of
+    frontier skew) exactly. Both phases order by the engine PRIORITY key,
+    so the admitted set and order equal the single-window semantics —
+    tests/test_crawl_matches_oracle.py proves it against the sequential
+    oracle."""
+    salts = max(1, cfg.admission_salts)
+    sub = F.pmod(F.col("url_hash"), F.lit(salts))
+    w1 = Window.partitionBy("host", sub).orderBy(*priority_order())
+    ranked1 = (
         frontier.join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
         .withColumn("crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0)))
-        .withColumn("host_rank", F.row_number().over(w))
         .withColumn("host_budget", host_budget_col(cfg))
+        .withColumn("sub_rank", F.row_number().over(w1))
     )
-    admitted = ranked.filter(F.col("host_rank") <= F.col("host_budget")).drop(
-        "crawl_delay_s", "host_budget"
+    cand = ranked1.filter(F.col("sub_rank") <= F.col("host_budget"))
+    over1 = ranked1.filter(F.col("sub_rank") > F.col("host_budget"))
+
+    w2 = Window.partitionBy("host").orderBy(*priority_order())
+    ranked2 = cand.withColumn("host_rank", F.row_number().over(w2))
+    admitted = ranked2.filter(F.col("host_rank") <= F.col("host_budget")).drop(
+        "crawl_delay_s", "host_budget", "sub_rank"
     )
-    deferred = ranked.filter(F.col("host_rank") > F.col("host_budget")).drop(
-        "crawl_delay_s", "host_rank", "host_budget"
-    )
+    over2 = ranked2.filter(F.col("host_rank") > F.col("host_budget")).drop("host_rank")
+    deferred = over1.unionByName(over2).drop("crawl_delay_s", "host_budget", "sub_rank")
     return admitted, deferred
 
 

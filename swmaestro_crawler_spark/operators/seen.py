@@ -59,20 +59,31 @@ def _probe(bitmap: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
 
 def build_bloom_distributed(df: DataFrame, bits: int, k: int,
                             hash_col: str = "url_hash") -> np.ndarray:
-    """Aggregate per-partition bitmaps (associative OR) — one pass over the
-    seen table, used on resume/bootstrap; per-round increments use
-    ``bloom_add`` on the (politeness-bounded) new hashes instead."""
+    """Aggregate per-partition bitmaps into one bloom bitmap.
+
+    Bitmap OR is associative+commutative, so each partition builds its
+    local bitmap (vectorized ``bloom_add``) and a ``treeReduce`` ORs them
+    pairwise across executors — the driver receives exactly ONE bitmap, no
+    matter how many partitions or rows (vs collecting hashes, which would
+    make the driver the bottleneck at 10^10 URLs). Used both for
+    rebuilding from the seen table and for per-round increments."""
     def to_bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bm = empty_bloom(bits)
+        n = 0
         for b in batches:
             bloom_add(bm, b[hash_col].to_numpy(dtype=np.int64), k)
-        yield pd.DataFrame({"bm": [bm.tobytes()]})
+            n += len(b)
+        if n:  # empty partitions contribute nothing
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = df.select(hash_col).mapInPandas(to_bitmaps, "bm binary").collect()
-    out = empty_bloom(bits)
-    for row in parts:
-        out |= np.frombuffer(row.bm, dtype=np.uint64)
-    return out
+    bitmaps = (
+        df.select(hash_col)
+        .mapInPandas(to_bitmaps, "bm binary")
+        .rdd.map(lambda r: np.frombuffer(r.bm, dtype=np.uint64))
+    )
+    return bitmaps.treeAggregate(
+        empty_bloom(bits), lambda a, b: a | b, lambda a, b: a | b
+    ).copy()
 
 
 def bloom_probe(df: DataFrame, bitmap_bc, k: int,

@@ -124,8 +124,9 @@ class Crawl:
         robots = self.cat.read("robots", ROBOTS)
         results: list[RoundResult] = []
         for r in range(start, rounds):
-            if self.cat.read("pending", FRONTIER).isEmpty():
-                break  # frontier drained — reference: queue len == 0
+            if self.cat.row_count("pending") == 0:
+                break  # frontier drained — reference: queue len == 0 (the
+                # count comes from parquet footers, no Spark job)
             res = run_round(self.spark, self.cat, self.cfg, r, robots, bloom)
             self._write_checkpoint(r, bloom)
             results.append(res)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import Catalog
 from ..config import CrawlConfig
@@ -31,7 +31,7 @@ from ..operators.politeness import (
     split_admitted,
     split_robots_excluded,
 )
-from ..operators.seen import as_seen_rows, bloom_add, filter_unseen
+from ..operators.seen import as_seen_rows, build_bloom_distributed, filter_unseen
 from ..schema import CRAWL_ORDER, DEAD, FRONTIER, METRICS, SEEN, SPANS_DOC
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
@@ -41,6 +41,53 @@ def _part_by_hash(df: DataFrame, n: int, col: str = "url_hash") -> DataFrame:
     """Deterministic layout: hash-partition on a data key, sort within.
     Cluster-size independent -> byte-identical files across runs/resumes."""
     return df.repartition(n, F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n))).sortWithinPartitions(col)
+
+
+def with_global_ord(df: DataFrame, sort_cols, n_parts: int, out_col: str = "ord"):
+    """Dense 0-based global rank over ``sort_cols`` WITHOUT a single-reducer
+    window (``Window.orderBy`` with no partitionBy funnels every row through
+    one task — the serial stage that would cap scaling at 4N executors).
+
+    Scalable zipWithIndex: (1) ``repartitionByRange`` + sort-within = a
+    fully parallel global sort whose partition ids follow key order;
+    (2) one tiny job collects per-partition row counts -> prefix offsets;
+    (3) an Arrow ``mapInPandas`` pass assigns ``offset[pid] + arange`` —
+    order-preserving, no shuffle. Deterministic for a given input (range
+    sampling is seeded per input partition), hence cluster-size
+    independent. Returns (ranked_df, persisted_handle); caller unpersists
+    the handle after consuming ranked_df."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    s = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["count"] for r in s.groupBy("_pid").count().collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = StructType(
+        [f for f in s.schema.fields if f.name != "_pid"]
+        + [StructField(out_col, LongType(), False)]
+    )
+
+    def add_ord(batches):
+        done = 0
+        for b in batches:
+            if len(b) == 0:
+                continue
+            base = offsets[int(b["_pid"].iloc[0])]
+            b = b.drop(columns=["_pid"])
+            b[out_col] = base + done + pd.RangeIndex(len(b))
+            done += len(b)
+            yield b
+
+    return s.mapInPandas(add_ord, out_schema), s
 
 
 @dataclass
@@ -71,6 +118,7 @@ def run_round(
 
     # 2. robots exclusion (broadcast dim join)
     allowed, excluded = split_robots_excluded(deduped, robots)
+    excluded = excluded.persist()  # consumed by dead-letter write + metrics
 
     # 3. two-tier unseen filter (bloom probe -> exact anti-join confirm)
     bitmap_bc = spark.sparkContext.broadcast(bloom.tobytes())
@@ -78,6 +126,7 @@ def run_round(
 
     # 4. politeness admission (rank vs crawl-delay budget)
     admitted_df, deferred_df = split_admitted(unseen, robots, cfg)
+    deferred_df = deferred_df.select(*FRONTIER_COLS).persist()
     admitted_df = admitted_df.withColumn("fingerprint", F.hash(F.col("url")))
 
     # 5. salted-bucket batch fetch
@@ -95,27 +144,35 @@ def run_round(
     cat.append("spans", _part_by_hash(docs, cfg.frontier_partitions, "doc_id"),
                meta={"round": r})
 
-    # 7. crawl-order log — the judge-replayable total order. ord is dense
-    #    within the round over the PRIORITY key. (The global row_number is a
-    #    single-partition sort of only the admitted rows — politeness-bounded
-    #    per round; at production scale the sort key itself is the order and
-    #    this log is derivable, so the window is diagnostic, not hot-path.)
-    order_rows = fetched.select(
+    # 7. crawl-order log — the judge-replayable total order. ord is the
+    #    dense rank over the PRIORITY key within the round, computed by the
+    #    scalable range-sort + prefix-offset rank (no single-reducer
+    #    window); partition ids follow key order, so the written files are
+    #    globally ord-sorted.
+    ranked, ranked_handle = with_global_ord(
+        fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
+        priority_order(),
+        cfg.frontier_partitions,
+    )
+    order_rows = ranked.select(
         F.lit(r).cast("int").alias("round"),
-        (F.row_number().over(Window.orderBy(*priority_order())) - 1).cast("long").alias("ord"),
+        F.col("ord"),
         "url",
         "host",
         "depth",
         "ok",
     )
-    cat.append("crawl_order", order_rows.repartition(1).sortWithinPartitions("ord"),
-               meta={"round": r})
+    cat.append("crawl_order", order_rows, meta={"round": r})
+    ranked_handle.unpersist()
 
-    # 8. seen tier update (exact table + bloom bitmap)
+    # 8. seen tier update (exact table + bloom bitmap). The bloom increment
+    #    is a treeAggregate of per-partition bitmaps — the driver never
+    #    sees individual hashes (no collect bottleneck at frontier scale).
     cat.append("seen", _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
                meta={"round": r})
-    ok_hashes = np.array([row[0] for row in ok.select("url_hash").collect()], dtype=np.int64)
-    bloom_add(bloom, ok_hashes, cfg.bloom_hashes)
+    bloom |= build_bloom_distributed(
+        ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
+    )
 
     # 9. retries + dead letters (at-least-once semantics; reference nack ->
     #    dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46)
@@ -167,21 +224,27 @@ def run_round(
     )
     cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
 
-    # 11. metrics + per-partition lineage
+    # 11. metrics + per-partition lineage. One tiny job over the persisted
+    #    fetch result for the ok/failed split; deferred/excluded counts hit
+    #    their persisted copies; pending_next comes from parquet footer
+    #    metadata (zero Spark jobs).
+    by_ok = {bool(row["ok"]): row["count"] for row in fetched.groupBy("ok").count().collect()}
+    n_ok, n_fail = int(by_ok.get(True, 0)), int(by_ok.get(False, 0))
     counts = {
-        "admitted": fetched.count(),
-        "fetched_ok": int(len(ok_hashes)),
-        "failed": fetched.count() - int(len(ok_hashes)),
+        "admitted": n_ok + n_fail,
+        "fetched_ok": n_ok,
+        "failed": n_fail,
         "deferred": deferred_df.count(),
         "excluded": excluded.count(),
         "new_links": new_links.count(),
-        "pending_next": cat.read("pending", FRONTIER).count(),
+        "pending_next": cat.row_count("pending"),
     }
     metrics_rows = spark.createDataFrame(
         [("round", str(r), k, int(v), r) for k, v in counts.items()], METRICS
     )
     cat.append("metrics", metrics_rows.coalesce(1), meta={"round": r})
-    fetched.unpersist()
+    for handle in (fetched, deferred_df, excluded):
+        handle.unpersist()
 
     return RoundResult(
         round=r,
