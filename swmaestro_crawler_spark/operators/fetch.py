@@ -13,12 +13,14 @@ New_YouTube_Crawler_proxy_APP.py:41) with:
   New_YouTube_Crawler_Comment.py:32-33), rows processed in priority order
   within the group.
 
-The transport is pluggable; the sandbox transport is the pure-function
-synthetic web (sources/synth_web.py), where "I/O" per URL is a seeded RNG
-— in production this is an async HTTP client, so the per-URL Python here
-stands in for network latency, not for data-path compute. Everything
-around this stage (dedup, politeness, joins, span handling) is
-codegen'd/Arrow-vectorized.
+The transport is BATCH-shaped: ``(pdf) -> (ok mask, payload series)`` for
+a whole host-bucket at once. The sandbox transport is the fully
+vectorized synthetic web (numpy splitmix64 + pandas string kernels — no
+per-row Python anywhere, per the BASELINE.json north_star); a production
+HTTP transport would run an async client over the same batch interface.
+The stage emits ONE FLAT ``payload`` string per page — nested span
+structs are built afterwards by pure Spark codegen (operators/spans.py),
+so no nested data ever crosses the Arrow boundary.
 """
 
 from __future__ import annotations
@@ -28,7 +30,6 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    ArrayType,
     BooleanType,
     IntegerType,
     StringType,
@@ -37,7 +38,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import CrawlConfig
-from ..schema import FRONTIER, SPAN
+from ..schema import FRONTIER
 from ..sources import synth_web
 
 FETCHED = StructType(
@@ -45,48 +46,44 @@ FETCHED = StructType(
     + [
         StructField("fingerprint", IntegerType(), True),
         StructField("ok", BooleanType(), False),
-        StructField("spans", ArrayType(SPAN, False), True),
-        StructField("outlinks", ArrayType(StringType(), False), True),
+        StructField("payload", StringType(), True),
     ]
 )
 
-Transport = Callable[[str, int], tuple[bool, list, list]]
+# batch transport: whole sorted host-bucket -> (ok mask, payload for ok rows)
+BatchTransport = Callable[[pd.DataFrame], tuple["pd.Series", "pd.Series"]]
 
 
-def synth_transport(cfg: CrawlConfig) -> Transport:
-    def fetch(url: str, attempt: int) -> tuple[bool, list, list]:
-        if not synth_web.fetch_ok(url, attempt, cfg):
-            return False, [], []
-        page = synth_web.page_for(url, cfg)
-        spans = [
-            {"kind": k, "text": t, "media_ref": m, "offset": o}
-            for (k, t, m, o) in page["spans"]
-        ]
-        return True, spans, page["outlinks"]
+def synth_transport(cfg: CrawlConfig) -> BatchTransport:
+    import numpy as np
+
+    def fetch(pdf: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+        ok = synth_web.fetch_ok_np(hashes, pdf["attempt"].to_numpy(dtype=np.int64), cfg)
+        payload = pd.Series([""] * len(pdf), dtype=object)
+        if ok.any():
+            payload[ok] = synth_web.payload_series(
+                hashes[ok], pdf["host"].to_numpy(dtype=object)[ok], cfg
+            ).to_numpy(dtype=object)
+        return pd.Series(ok), payload
 
     return fetch
 
 
 def fetch_stage(admitted: DataFrame, cfg: CrawlConfig,
-                transport_factory: Callable[[CrawlConfig], Transport] = synth_transport) -> DataFrame:
-    """admitted frontier rows -> FETCHED rows (ok, spans, outlinks)."""
+                transport_factory: Callable[[CrawlConfig], BatchTransport] = synth_transport) -> DataFrame:
+    """admitted frontier rows -> FETCHED rows (ok, payload)."""
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one session per bucket-group; priority order inside the group
+        # one transport session per bucket-group; priority order inside it
         transport = transport_factory(cfg)
         pdf = pdf.sort_values(
             ["host", "depth", "seq", "url_hash"], ascending=[True, False, True, True]
-        )
-        oks, spans_col, links_col = [], [], []
-        for url, attempt in zip(pdf["url"], pdf["attempt"]):
-            ok, spans, links = transport(url, int(attempt))
-            oks.append(ok)
-            spans_col.append(spans)
-            links_col.append(links)
+        ).reset_index(drop=True)
+        ok, payload = transport(pdf)
         out = pdf[[f.name for f in FRONTIER.fields] + ["fingerprint"]].copy()
-        out["ok"] = oks
-        out["spans"] = spans_col
-        out["outlinks"] = links_col
+        out["ok"] = ok.to_numpy()
+        out["payload"] = payload.to_numpy(dtype=object)
         return out
 
     bucketed = admitted.withColumn(

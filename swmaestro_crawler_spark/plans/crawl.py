@@ -85,11 +85,20 @@ class Crawl:
             return json.load(f)
 
     # -- lifecycle -------------------------------------------------------------
-    def bootstrap(self, seeds: DataFrame, robots: DataFrame | None = None) -> None:
-        """Initialize crawl state (round -1 checkpoint = empty-but-seeded)."""
+    def bootstrap(
+        self,
+        seeds: DataFrame | None = None,
+        robots: DataFrame | None = None,
+        frontier: DataFrame | None = None,
+    ) -> None:
+        """Initialize crawl state (round -1 checkpoint = empty-but-seeded).
+        Either ``seeds`` (rank-ordered seed rows) or a pre-built FRONTIER
+        DataFrame may be supplied (the latter for bulk synthetic frontiers
+        generated JVM-side, e.g. the scaling bench)."""
         robots = robots if robots is not None else synth_robots(self.spark, self.cfg)
         self.cat.overwrite("robots", robots.repartition(1).sortWithinPartitions("host"))
-        frontier = seeds_to_frontier(seeds)
+        if frontier is None:
+            frontier = seeds_to_frontier(seeds)
         self.cat.overwrite(
             "pending",
             _part_by_hash(frontier, self.cfg.frontier_partitions).sortWithinPartitions(

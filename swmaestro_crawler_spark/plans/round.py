@@ -32,6 +32,7 @@ from ..operators.politeness import (
     split_robots_excluded,
 )
 from ..operators.seen import as_seen_rows, build_bloom_distributed, filter_unseen
+from ..operators.spans import outlinks_of, spans_of
 from ..schema import CRAWL_ORDER, DEAD, FRONTIER, METRICS, SEEN, SPANS_DOC
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
@@ -134,10 +135,12 @@ def run_round(
     ok = fetched.filter(F.col("ok"))
     failed = fetched.filter(~F.col("ok"))
 
-    # 6. span documents (the interleaved text+media payload)
+    # 6. span documents (the interleaved text+media payload). Payload ->
+    #    array<struct> extraction is pure codegen (operators/spans.py) —
+    #    nested structs are built JVM-side, never crossing Arrow.
     docs = ok.select(
         F.col("url").alias("doc_id"),
-        F.col("spans"),
+        spans_of(F.col("payload")).alias("spans"),
         F.lit(r).cast("int").alias("round"),
         F.col("host"),
     )
@@ -199,7 +202,7 @@ def run_round(
         .select(
             F.col("url").alias("parent"),
             F.col("depth").alias("parent_depth"),
-            F.posexplode(F.col("outlinks")).alias("seq", "url"),
+            F.posexplode(outlinks_of(spans_of(F.col("payload")))).alias("seq", "url"),
         )
         .transform(with_canonical)
         .select(

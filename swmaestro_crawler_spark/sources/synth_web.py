@@ -1,9 +1,17 @@
 """Deterministic synthetic web — the sandbox transport.
 
-``page_for(url)`` is a PURE function of the canonical URL: the same URL
-always yields the same interleaved span document and outlinks. Both the
-engine's batch fetcher and the reference oracle call exactly this module,
-so crawl results are comparable byte-for-byte without a network.
+A page is a PURE function of the canonical URL's xxhash64 (the same
+``url_hash`` the engine already carries): the same URL always yields the
+same interleaved span document and outlinks. Both the engine's batch
+fetcher and the reference oracle call exactly this module, so crawl
+results are comparable byte-for-byte without a network.
+
+The page is materialized as a flat PAYLOAD string — span segments joined
+by ``\\x02``, each segment ``kind\\x01text\\x01media_ref`` — generated
+fully vectorized (numpy splitmix64 chains + pandas string kernels, no
+per-row Python). The ENGINE never parses it in Python: span extraction
+is pure Spark codegen (``split``/``transform``/``struct`` —
+operators/spans.py); only the oracle uses the scalar ``parse_payload``.
 
 Page shape mirrors what the reference harvests from one watch page:
 stats first (view/like counts yielded before comments,
@@ -22,14 +30,23 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import pandas as pd
 
 from ..config import CrawlConfig
-from ..functions.hashing import stable64
+from ..functions.hashing import _splitmix64_np, stable64, xxhash64_str
+
+FIELD = "\x01"   # kind \x01 text \x01 media_ref
+SPANSEP = "\x02"
 
 VOCAB = [f"lorem{i:03d}" for i in range(64)] + [
     "crawl", "frontier", "span", "media", "video", "channel", "comment",
     "politeness", "robots", "bloom", "cuckoo", "shard", "replica", "quorum",
 ]
+_VOCAB_ARR = np.array(VOCAB)
+
+_MAX_TEXT = 5   # 1..5 text spans, each optionally followed by a media span
+_MAX_TAG = 2    # 0..2 tag spans
+_MAX_LINK = 8   # 2..8 link spans
 
 
 @lru_cache(maxsize=8)
@@ -44,7 +61,151 @@ def _zipf_cdf(n_hosts: int, s: float) -> np.ndarray:
 
 
 def _rng(tag: str, url: str, extra: str = "") -> np.random.Generator:
+    """Seeded generator for DRIVER-side artifacts (seeds, robots) only —
+    never on the fetch hot path."""
     return np.random.Generator(np.random.PCG64(stable64(f"{tag}:{url}:{extra}")))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized deterministic draws: splitmix64 chains keyed on (url_hash, tag)
+# ---------------------------------------------------------------------------
+_G = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix(h: np.ndarray, tag: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return _splitmix64_np(h + np.uint64(tag) * _G)
+
+
+def _u01(x: np.ndarray) -> np.ndarray:
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _uh(url_hash) -> np.ndarray:
+    return np.asarray(url_hash, dtype=np.int64).view(np.uint64)
+
+
+def _hexcol(x: np.ndarray, width: int) -> pd.Series:
+    return pd.Series(np.char.mod(f"%0{width}x", x))
+
+
+def fetch_ok_np(url_hash, attempt, cfg: CrawlConfig) -> np.ndarray:
+    """Deterministic transient failure — per (url_hash, attempt), so a
+    retry can re-roll (reference retry loop,
+    New_YouTube_Crawler_Comment.py:45-53)."""
+    with np.errstate(over="ignore"):
+        h = _uh(url_hash) + np.asarray(attempt, dtype=np.int64).view(np.uint64) * np.uint64(
+            0xC2B2AE3D27D4EB4F
+        )
+    return _u01(_mix(h, 0xFE7C)) >= cfg.synth_fail_prob
+
+
+def payload_series(url_hash, own_host, cfg: CrawlConfig) -> pd.Series:
+    """url_hash + own host -> payload string, fully vectorized.
+
+    Span order within a page: stat, then (text, media?)*, tags, links —
+    the reference's stats-before-content document order."""
+    h = _uh(url_hash)
+    n = len(h)
+    if n == 0:
+        return pd.Series([], dtype=object)
+
+    slots: list[pd.Series] = []
+
+    views = _mix(h, 1) % np.uint64(1_000_000)
+    likes = _mix(h, 2) % np.uint64(10_000)
+    dislikes = _mix(h, 3) % np.uint64(1_000)
+    stat = (
+        "stat" + FIELD + "views=" + pd.Series(views.astype(str))
+        + " likes=" + pd.Series(likes.astype(str))
+        + " dislikes=" + pd.Series(dislikes.astype(str))
+        + FIELD
+    )
+    slots.append(stat)
+
+    n_text = (_mix(h, 4) % np.uint64(_MAX_TEXT)).astype(np.int64) + 1  # 1..5
+    cdf = _zipf_cdf(cfg.synth_n_hosts, cfg.synth_zipf_s)
+    host_arr = np.asarray(hosts(cfg.synth_n_hosts))
+    for j in range(_MAX_TEXT):
+        w0 = _VOCAB_ARR[(_mix(h, 10 + 4 * j) % np.uint64(len(VOCAB))).astype(np.int64)]
+        w1 = _VOCAB_ARR[(_mix(h, 11 + 4 * j) % np.uint64(len(VOCAB))).astype(np.int64)]
+        w2 = _VOCAB_ARR[(_mix(h, 12 + 4 * j) % np.uint64(len(VOCAB))).astype(np.int64)]
+        tok = _hexcol(_mix(h, 13 + 4 * j) % np.uint64(1 << 32), 8)
+        text = (
+            "text" + FIELD + pd.Series(w0) + " " + pd.Series(w1) + " " + pd.Series(w2)
+            + " w" + tok + FIELD
+        )
+        slots.append(text.where(j < n_text, ""))
+
+        media = (
+            "media" + FIELD + FIELD + "http://cdn.example.com/img/"
+            + _hexcol(_mix(h, 30 + j) % np.uint64(1 << 40), 10) + ".jpg"
+        )
+        has_media = (j < n_text) & (_u01(_mix(h, 80 + j)) < 0.4)
+        slots.append(media.where(has_media, ""))
+
+    n_tag = (_mix(h, 5) % np.uint64(_MAX_TAG + 1)).astype(np.int64)  # 0..2
+    for j in range(_MAX_TAG):
+        tag = "tag" + FIELD + pd.Series(
+            _VOCAB_ARR[(_mix(h, 40 + j) % np.uint64(len(VOCAB))).astype(np.int64)]
+        ) + FIELD
+        slots.append(tag.where(j < n_tag, ""))
+
+    n_link = (_mix(h, 6) % np.uint64(_MAX_LINK - 1)).astype(np.int64) + 2  # 2..8
+    own = pd.Series(np.asarray(own_host, dtype=object))
+    for j in range(_MAX_LINK):
+        cross = _u01(_mix(h, 50 + j)) >= 0.5
+        tgt_host = own.where(
+            ~cross,
+            pd.Series(host_arr[np.searchsorted(cdf, _u01(_mix(h, 60 + j)))]),
+        )
+        link = (
+            "link" + FIELD + FIELD + "http://" + tgt_host + "/p/"
+            + _hexcol(_mix(h, 70 + j) % np.uint64(1 << 48), 12)
+        )
+        slots.append(link.where(j < n_link, ""))
+
+    payload = slots[0].str.cat(slots[1:], sep=SPANSEP)
+    # collapse absent slots: runs of the separator -> one, strip ends
+    return payload.str.replace(f"{SPANSEP}+", SPANSEP, regex=True).str.strip(SPANSEP)
+
+
+# ---------------------------------------------------------------------------
+# Scalar wrappers (oracle + tests); the engine never parses in Python
+# ---------------------------------------------------------------------------
+def parse_payload(payload: str) -> dict:
+    """payload -> {spans: [(kind,text,media_ref,offset)...], outlinks: [...]}
+    — mirror of the engine's codegen extraction (operators/spans.py)."""
+    spans = []
+    outlinks = []
+    if payload:
+        for off, seg in enumerate(payload.split(SPANSEP)):
+            kind, text, media = (seg.split(FIELD) + ["", ""])[:3]
+            spans.append((kind, text, media, off))
+            if kind == "link":
+                outlinks.append(media)
+    return {"spans": spans, "outlinks": outlinks}
+
+
+def _host_of(url: str) -> str:
+    return url.split("://", 1)[1].split("/", 1)[0]
+
+
+def page_for(url: str, cfg: CrawlConfig) -> dict:
+    """Pure URL -> parsed page (scalar path for the oracle/tests)."""
+    h = np.array([xxhash64_str(url)], dtype=np.int64)
+    payload = payload_series(h, np.array([_host_of(url)], dtype=object), cfg).iloc[0]
+    return parse_payload(payload)
+
+
+def fetch_ok(url: str, attempt: int, cfg: CrawlConfig) -> bool:
+    return bool(
+        fetch_ok_np(
+            np.array([xxhash64_str(url)], dtype=np.int64),
+            np.array([attempt], dtype=np.int64),
+            cfg,
+        )[0]
+    )
 
 
 def _pick_host(rng: np.random.Generator, cfg: CrawlConfig) -> str:
@@ -54,52 +215,6 @@ def _pick_host(rng: np.random.Generator, cfg: CrawlConfig) -> str:
 
 def _new_path(rng: np.random.Generator) -> str:
     return f"/p/{rng.integers(0, 1 << 48):012x}"
-
-
-def fetch_ok(url: str, attempt: int, cfg: CrawlConfig) -> bool:
-    """Deterministic transient failure — per (url, attempt), so a retry can
-    succeed (reference retry loop: New_YouTube_Crawler_Comment.py:45-53)."""
-    return _rng("fetch", url, str(attempt)).random() >= cfg.synth_fail_prob
-
-
-def page_for(url: str, cfg: CrawlConfig) -> dict:
-    """Pure URL -> {spans: [(kind,text,media_ref,offset)...], outlinks: [...]}"""
-    rng = _rng("page", url)
-    host = url.split("://", 1)[1].split("/", 1)[0]
-    spans: list[tuple[str, str, str, int]] = []
-    off = 0
-
-    views = int(rng.integers(0, 1_000_000))
-    likes = int(rng.integers(0, 10_000))
-    dislikes = int(rng.integers(0, 1_000))
-    spans.append(("stat", f"views={views} likes={likes} dislikes={dislikes}", "", off))
-    off += 1
-
-    for _ in range(int(rng.integers(1, 6))):
-        words = rng.choice(len(VOCAB), size=int(rng.integers(5, 15)))
-        spans.append(("text", " ".join(VOCAB[w] for w in words), "", off))
-        off += 1
-        if rng.random() < 0.4:
-            spans.append(
-                ("media", "", f"http://cdn.example.com/img/{rng.integers(0, 1 << 40):010x}.jpg", off)
-            )
-            off += 1
-
-    for _ in range(int(rng.integers(0, 3))):
-        spans.append(("tag", VOCAB[int(rng.integers(0, len(VOCAB)))], "", off))
-        off += 1
-
-    outlinks: list[str] = []
-    for _ in range(int(rng.integers(2, 9))):
-        if rng.random() < 0.5:
-            target = f"http://{host}{_new_path(rng)}"
-        else:
-            target = f"http://{_pick_host(rng, cfg)}{_new_path(rng)}"
-        outlinks.append(target)
-        spans.append(("link", "", target, off))
-        off += 1
-
-    return {"spans": spans, "outlinks": outlinks}
 
 
 def robots_for_host(host: str, cfg: CrawlConfig) -> dict:
