@@ -105,19 +105,20 @@ def main() -> None:
     queries["crawl_3round"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(queries.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "cpus": cpus,
-                "crawl": crawl,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl,
+    }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            out["scaling"] = json.load(f)  # produced by tools/bench_scaling.py
+    print(json.dumps(out))
     spark.stop()
 
 

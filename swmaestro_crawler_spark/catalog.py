@@ -62,29 +62,83 @@ class Catalog:
     def current_snapshot(self, table: str) -> int:
         return self._load_manifest(table)["current"]
 
-    def _write_files(self, table: str, df: DataFrame) -> list[str]:
+    def _write_files(self, table: str, df: DataFrame) -> tuple[list[str], int]:
+        """Stage-write then move into place; returns (files, rows) — the
+        row count comes free from the parquet footers (Iceberg records
+        the same stat in its manifests)."""
+        import pyarrow.parquet as pq
+
         stage = os.path.join(self._dir(table), f"stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(stage)
         data_dir = os.path.join(self._dir(table), "data")
         os.makedirs(data_dir, exist_ok=True)
-        files = []
+        files, rows = [], 0
         for name in sorted(os.listdir(stage)):
             if not name.endswith(".parquet"):
                 continue
+            rows += pq.ParquetFile(os.path.join(stage, name)).metadata.num_rows
             dst = f"snap-{uuid.uuid4().hex}-{name.split('-')[1]}.parquet"
             shutil.move(os.path.join(stage, name), os.path.join(data_dir, dst))
             files.append(os.path.join("data", dst))
         shutil.rmtree(stage, ignore_errors=True)
-        return files
+        return files, rows
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
-        """Append rows as a new snapshot; returns the snapshot id."""
-        files = self._write_files(table, df)
+        """Append rows as a new snapshot; returns the snapshot id. The
+        snapshot meta records ``rows_delta`` (rows in THIS append)."""
+        files, rows = self._write_files(table, df)
         m = self._load_manifest(table)
         prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
         base = prev[0]["files"] if prev else []
         sid = m["current"] + 1
-        m["snapshots"].append({"id": sid, "files": base + files, "meta": meta or {}})
+        m["snapshots"].append(
+            {"id": sid, "files": base + files, "meta": dict(meta or {}, rows_delta=rows)}
+        )
+        m["current"] = sid
+        self._commit_manifest(table, m)
+        return sid
+
+    def append_rows(
+        self, table: str, rows: list[tuple], schema: StructType, meta: dict | None = None
+    ) -> int:
+        """Append a SMALL driver-side row batch (metrics, lineage) as a new
+        snapshot via a direct pyarrow write — tiny fact appends shouldn't
+        pay a Spark job (a local-rows write costs seconds of fixed
+        overhead per call; Iceberg's analogue is a direct data-file
+        commit). The file is identical in shape to a Spark-written one and
+        reads back through the normal ``read`` path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "string": pa.string(),
+            "bigint": pa.int64(),
+            "int": pa.int32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+        }
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        arrow_schema = pa.schema(
+            [(f.name, _PA[f.dataType.simpleString()]) for f in schema.fields]
+        )
+        tbl = pa.table(
+            {f.name: list(c) for f, c in zip(schema.fields, cols)}, schema=arrow_schema
+        )
+        data_dir = os.path.join(self._dir(table), "data")
+        os.makedirs(data_dir, exist_ok=True)
+        name = f"snap-{uuid.uuid4().hex}-local.parquet"
+        pq.write_table(tbl, os.path.join(data_dir, name))
+        m = self._load_manifest(table)
+        prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+        base = prev[0]["files"] if prev else []
+        sid = m["current"] + 1
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "files": base + [os.path.join("data", name)],
+                "meta": dict(meta or {}, rows_delta=len(rows)),
+            }
+        )
         m["current"] = sid
         self._commit_manifest(table, m)
         return sid
@@ -92,17 +146,73 @@ class Catalog:
     def overwrite(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
         """Replace table contents as a new snapshot (old files retained for
         time travel / resume)."""
-        files = self._write_files(table, df)
+        files, rows = self._write_files(table, df)
         m = self._load_manifest(table)
         sid = m["current"] + 1
-        m["snapshots"].append({"id": sid, "files": files, "meta": meta or {}})
+        m["snapshots"].append(
+            {"id": sid, "files": files, "meta": dict(meta or {}, rows_delta=rows)}
+        )
+        m["current"] = sid
+        self._commit_manifest(table, m)
+        return sid
+
+    def rows_delta(self, table: str, snapshot: int) -> int:
+        """Rows written by snapshot ``snapshot`` (from footer stats)."""
+        return int(self.snapshot_meta(table, snapshot).get("rows_delta", 0))
+
+    def append_files(
+        self,
+        table: str,
+        src_table: str,
+        src_snapshot: int,
+        meta: dict | None = None,
+        column_map: dict[str, str] | None = None,
+        row_filter: str | None = None,
+    ) -> int:
+        """ZERO-COPY append: add another table snapshot's data FILES to this
+        table's manifest without rewriting a byte — the Iceberg idiom of
+        committing existing data files into a second table, combined with
+        name mapping (Iceberg's schema name-mapping) and a row-filter
+        predicate (the moral equivalent of an equality-delete file readers
+        must apply). ``column_map`` maps THIS table's column -> source
+        column; ``row_filter`` is a SQL predicate over source columns.
+        Both are table-level properties (must be identical across
+        appends)."""
+        src = self._load_manifest(src_table)
+        src_snap = [s for s in src["snapshots"] if s["id"] == src_snapshot]
+        if not src_snap:
+            raise KeyError(f"{src_table}@{src_snapshot}")
+        # file paths are warehouse-relative via the source table dir
+        rel = os.path.relpath(self._dir(src_table), self._dir(table))
+        files = [os.path.join(rel, f) for f in src_snap[0]["files"]]
+        rows = src_snap[0]["meta"].get("rows_delta", 0)
+        m = self._load_manifest(table)
+        props = m.get("props", {})
+        new_props = {
+            k: v
+            for k, v in (("column_map", column_map), ("row_filter", row_filter))
+            if v is not None
+        }
+        if props and new_props and props != new_props:
+            raise ValueError(f"conflicting table props for {table}")
+        m["props"] = props or new_props
+        prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+        base = prev[0]["files"] if prev else []
+        sid = m["current"] + 1
+        m["snapshots"].append(
+            {"id": sid, "files": base + files, "meta": dict(meta or {}, rows_delta=rows)}
+        )
         m["current"] = sid
         self._commit_manifest(table, m)
         return sid
 
     def read(self, table: str, schema: StructType, snapshot: int | None = None) -> DataFrame:
         """Read a snapshot (default: current). Empty table -> empty DF with
-        the declared schema, so pipelines need no existence branches."""
+        the declared schema, so pipelines need no existence branches.
+        Honors table-level ``column_map``/``row_filter`` props set by
+        zero-copy ``append_files``."""
+        from pyspark.sql import functions as F
+
         m = self._load_manifest(table)
         sid = m["current"] if snapshot is None else snapshot
         snaps = [s for s in m["snapshots"] if s["id"] == sid]
@@ -110,7 +220,16 @@ class Catalog:
         if not files:
             return self.spark.createDataFrame([], schema)
         paths = [os.path.join(self._dir(table), f) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        props = m.get("props", {})
+        if not props:
+            return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.parquet(*paths)
+        if props.get("row_filter"):
+            df = df.filter(props["row_filter"])
+        cmap = props.get("column_map", {})
+        return df.select(
+            *[F.col(cmap.get(f.name, f.name)).alias(f.name) for f in schema.fields]
+        )
 
     def row_count(self, table: str, snapshot: int | None = None) -> int:
         """Row count from parquet footer metadata — no Spark job (the

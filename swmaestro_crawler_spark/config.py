@@ -34,6 +34,7 @@ class CrawlConfig:
     frontier_partitions: int = 32
     host_salt: int = 0x5EED          # salted host bucketing (axis B: skew)
     admission_salts: int = 16        # sub-buckets per host in two-phase top-k
+    fetch_host_splits: int = 8       # sub-buckets per host in the fetch stage
     seen_buckets: int = 64           # bucket count of the exact seen table
 
     # bloom tier
@@ -48,6 +49,8 @@ class CrawlConfig:
     synth_zipf_s: float = 1.2
     synth_seed: int = 42
     synth_fail_prob: float = 0.02    # deterministic per (url, attempt)
+    synth_work_iters: int = 0        # CPU stand-in for real fetch+parse cost
+                                     # (see sources/synth_web.parse_work)
 
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
@@ -69,6 +72,6 @@ def spark_builder(app: str, master: str | None = None, shuffle_partitions: int =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )

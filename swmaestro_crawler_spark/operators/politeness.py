@@ -44,11 +44,15 @@ def synth_robots(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     return spark.createDataFrame(rows, ROBOTS)
 
 
-def split_robots_excluded(frontier: DataFrame, robots: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(allowed, excluded) after the robots disallow-prefix check.
+def split_robots_excluded(
+    frontier: DataFrame, robots: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(allowed, excluded, joined) after the robots disallow-prefix check.
 
     robots is a per-host dimension — broadcast, so no shuffle of the
     frontier; the prefix test is a codegen'd EXISTS over the array.
+    ``joined`` is the shared parent both splits filter — the caller may
+    persist it so the upstream dedup window materializes once.
     """
     path = F.regexp_replace(F.col("url"), r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
     joined = frontier.join(
@@ -65,7 +69,7 @@ def split_robots_excluded(frontier: DataFrame, robots: DataFrame) -> tuple[DataF
     )
     allowed = joined.filter(~F.col("robots_blocked")).drop("robots_blocked", "disallow_prefixes")
     excluded = joined.filter(F.col("robots_blocked")).drop("robots_blocked", "disallow_prefixes")
-    return allowed, excluded
+    return allowed, excluded, joined
 
 
 def host_budget_col(cfg: CrawlConfig):

@@ -76,14 +76,24 @@ def build_bloom_distributed(df: DataFrame, bits: int, k: int,
         if n:  # empty partitions contribute nothing
             yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    bitmaps = (
+    # A few fat aggregation partitions: each bitmap cell is bits/8 bytes,
+    # so the cost is per-PARTITION, not per-row — coalesce (no shuffle)
+    # bounds the number of bitmaps. Collection is Arrow (toArrow), not
+    # row-pickled RDD records; the driver ORs <= 8 bitmaps. (At a true
+    # 10^10 design point the seen set is bucket-partitioned and each
+    # bucket carries its own, smaller bloom; the driver never holds more
+    # than the broadcast bitmap either way.)
+    agg_parts = 8
+    tbl = (
         df.select(hash_col)
+        .coalesce(agg_parts)
         .mapInPandas(to_bitmaps, "bm binary")
-        .rdd.map(lambda r: np.frombuffer(r.bm, dtype=np.uint64))
+        .toArrow()
     )
-    return bitmaps.treeAggregate(
-        empty_bloom(bits), lambda a, b: a | b, lambda a, b: a | b
-    ).copy()
+    out = empty_bloom(bits)
+    for cell in tbl.column("bm"):
+        out |= np.frombuffer(cell.as_py(), dtype=np.uint64)
+    return out
 
 
 def bloom_probe(df: DataFrame, bitmap_bc, k: int,

@@ -1,13 +1,18 @@
-"""Span extraction — pure Spark codegen, zero Python.
+"""Span extraction — vectorized Arrow C kernels (plus a codegen variant).
 
-The fetch stage returns one flat ``payload`` string per page (segments
+A fetched page is one flat ``payload`` string (segments
 ``kind\\x01text\\x01media_ref`` joined by ``\\x02`` — sources/synth_web.py;
 a production HTML fetcher would emit the same shape from a vectorized
-parser). Turning that into the interleaved span document
-(``array<struct<kind,text,media_ref,offset>>``, BASELINE.json input_hint)
-is ``split`` + ``transform`` + ``struct`` — whole-stage-codegen'd JVM
-expressions, so the payload-defining operators (SURVEY.md §2.9 X1-X6)
-never touch Python on the hot path.
+parser). ``extract_spans_arrow`` turns a whole Arrow array of payloads
+into the nested span column (``array<struct<kind,text,media_ref,offset>>``,
+BASELINE.json input_hint) with pure C kernels — split_pattern,
+list_flatten, StructArray/ListArray construction — so the hot path has no
+per-row Python and no Python objects at all. It runs INSIDE the fetch
+stage's ``mapInArrow`` pass, so payloads never leave the worker.
+
+Spark's higher-order functions (``transform``/``filter``) evaluate
+interpreted per element; ``spans_of`` below uses them for small/ad-hoc
+results, but the bulk path is the Arrow kernel. (SURVEY.md §2.9 X1-X6.)
 """
 
 from __future__ import annotations
@@ -17,10 +22,52 @@ from pyspark.sql import Column, functions as F
 from ..sources.synth_web import FIELD, SPANSEP
 
 
+def extract_spans_arrow(payload):
+    """pyarrow StringArray of payloads -> ListArray<struct<kind,text,
+    media_ref,offset>> with dense 0-based offsets. Empty payloads
+    (failed fetches) yield empty span lists."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if len(payload) == 0:
+        return pa.ListArray.from_arrays(
+            pa.array([0], type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array([], type=pa.string())] * 3 + [pa.array([], type=pa.int32())],
+                names=["kind", "text", "media_ref", "offset"],
+            ),
+        )
+    if isinstance(payload, pa.ChunkedArray):
+        payload = payload.combine_chunks()
+    segs = pc.split_pattern(payload, SPANSEP)
+    offsets = segs.offsets.to_numpy(zero_copy_only=False)
+    counts = np.diff(offsets)
+    nonempty = pc.not_equal(payload, "").to_numpy(zero_copy_only=False)
+    nonempty = np.asarray(nonempty, dtype=bool) & (counts > 0)
+
+    flat = pc.list_flatten(segs)
+    flat_mask = np.repeat(nonempty, counts)
+    parts = pc.split_pattern(flat.filter(pa.array(flat_mask)), FIELD)
+    kind = pc.list_element(parts, 0)
+    text = pc.list_element(parts, 1)
+    media = pc.list_element(parts, 2)
+
+    keep_counts = np.where(nonempty, counts, 0).astype(np.int32)
+    new_offsets = np.concatenate([[0], np.cumsum(keep_counts)]).astype(np.int32)
+    within = np.arange(int(new_offsets[-1]), dtype=np.int32) - np.repeat(
+        new_offsets[:-1], keep_counts
+    )
+    struct = pa.StructArray.from_arrays(
+        [kind, text, media, pa.array(within, type=pa.int32())],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), struct)
+
+
 def spans_of(payload: Column) -> Column:
-    """payload string -> array<struct<kind,text,media_ref,offset>> with
-    dense offsets = segment position (the reference's document order:
-    stats first, then interleaved text/media, New_YouTube_Crawler_Comment.py:121,175)."""
+    """payload string -> array<struct<kind,text,media_ref,offset>> as a
+    Spark expression (interpreted HOFs — fine off the hot path)."""
     return F.transform(
         F.split(payload, SPANSEP),
         lambda s, i: F.struct(

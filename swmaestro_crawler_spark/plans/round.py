@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import Catalog
 from ..config import CrawlConfig
 from ..functions.canonical import with_canonical
-from ..operators.fetch import fetch_stage
+from ..operators.fetch import FETCHED, fetch_stage
 from ..operators.politeness import (
     priority_order,
     dedup_frontier,
@@ -32,7 +32,7 @@ from ..operators.politeness import (
     split_robots_excluded,
 )
 from ..operators.seen import as_seen_rows, build_bloom_distributed, filter_unseen
-from ..operators.spans import outlinks_of, spans_of
+from ..sources.synth_web import SPANSEP as SPANSEP_LIT
 from ..schema import CRAWL_ORDER, DEAD, FRONTIER, METRICS, SEEN, SPANS_DOC
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
@@ -91,6 +91,28 @@ def with_global_ord(df: DataFrame, sort_cols, n_parts: int, out_col: str = "ord"
     return s.mapInPandas(add_ord, out_schema), s
 
 
+class _StepTimer:
+    """Per-step wall timing, printed when SWM_PROFILE=1 (diagnostic)."""
+
+    def __init__(self) -> None:
+        import os
+
+        self.on = os.environ.get("SWM_PROFILE") == "1"
+        self._t = None
+        self._name = None
+
+    def step(self, name: str) -> None:
+        import time
+
+        now = time.perf_counter()
+        if self.on and self._name is not None:
+            print(f"    [round-step] {self._name}: {now - self._t:.2f}s", flush=True)
+        self._t, self._name = now, name
+
+    def done(self) -> None:
+        self.step("_end")
+
+
 @dataclass
 class RoundResult:
     round: int
@@ -111,47 +133,72 @@ def run_round(
     robots: DataFrame,
     bloom: np.ndarray,
 ) -> RoundResult:
+    tm = _StepTimer()
+    tm.step("read+plan")
     pending = cat.read("pending", FRONTIER)
     seen = cat.read("seen", SEEN)
 
     # 1. frontier dedup (window, one row per url_hash)
     deduped = dedup_frontier(pending)
 
-    # 2. robots exclusion (broadcast dim join)
-    allowed, excluded = split_robots_excluded(deduped, robots)
-    excluded = excluded.persist()  # consumed by dead-letter write + metrics
+    # 2. robots exclusion (broadcast dim join). The dedup+robots prefix is
+    #    shared by the allowed chain (-> fetch) and the excluded chain
+    #    (-> dead letters); persisting the common node means the window
+    #    shuffle runs once per round, not once per consumer.
+    allowed, excluded, robots_joined = split_robots_excluded(deduped, robots)
+    robots_joined.persist()
 
-    # 3. two-tier unseen filter (bloom probe -> exact anti-join confirm)
+    # 3. two-tier unseen filter (bloom probe -> exact anti-join confirm).
+    #    Persisted: both the admitted chain (fetch) and the deferred chain
+    #    (next-round pending) hang off it.
     bitmap_bc = spark.sparkContext.broadcast(bloom.tobytes())
-    unseen = filter_unseen(allowed, seen, bitmap_bc, cfg.bloom_hashes)
+    unseen = filter_unseen(allowed, seen, bitmap_bc, cfg.bloom_hashes).persist()
 
     # 4. politeness admission (rank vs crawl-delay budget)
     admitted_df, deferred_df = split_admitted(unseen, robots, cfg)
-    deferred_df = deferred_df.select(*FRONTIER_COLS).persist()
+    deferred_df = deferred_df.select(*FRONTIER_COLS)
     admitted_df = admitted_df.withColumn("fingerprint", F.hash(F.col("url")))
 
-    # 5. salted-bucket batch fetch
-    fetched = fetch_stage(admitted_df, cfg).persist()
+    # 5. salted-bucket batch fetch -> ROUND SCRATCH TABLE. One fused
+    #    Arrow pass fetches AND extracts spans (operators/fetch.py), and
+    #    its output is written ONCE to parquet; every downstream consumer
+    #    reads it back column-pruned. The explicit sort makes the files
+    #    deterministic regardless of shuffle arrival order
+    #    (byte-identical resume, N-vs-4N equality).
+    tm.step("fetch_scratch_write")
+    sid_fetch = cat.overwrite(
+        "fetched",
+        fetch_stage(admitted_df, cfg, r).sortWithinPartitions(
+            "host", F.col("depth").desc(), "seq", "url_hash"
+        ),
+        meta={"round": r},
+    )
+    fetched = cat.read("fetched", FETCHED)
     ok = fetched.filter(F.col("ok"))
     failed = fetched.filter(~F.col("ok"))
 
-    # 6. span documents (the interleaved text+media payload). Payload ->
-    #    array<struct> extraction is pure codegen (operators/spans.py) —
-    #    nested structs are built JVM-side, never crossing Arrow.
-    docs = ok.select(
-        F.col("url").alias("doc_id"),
-        spans_of(F.col("payload")).alias("spans"),
-        F.lit(r).cast("int").alias("round"),
-        F.col("host"),
+    # 6. span documents (the interleaved text+media payload): a ZERO-COPY
+    #    manifest append — the spans table commits the scratch snapshot's
+    #    data files with a name mapping (doc_id<-url, round<-fetch_round)
+    #    and a row-filter predicate (ok only; the Iceberg delete-file
+    #    analogue). No bytes are rewritten.
+    tm.step("spans_write")
+    cat.append_files(
+        "spans",
+        "fetched",
+        sid_fetch,
+        meta={"round": r},
+        column_map={"doc_id": "url", "round": "fetch_round"},
+        row_filter="ok",
     )
-    cat.append("spans", _part_by_hash(docs, cfg.frontier_partitions, "doc_id"),
-               meta={"round": r})
 
     # 7. crawl-order log — the judge-replayable total order. ord is the
     #    dense rank over the PRIORITY key within the round, computed by the
     #    scalable range-sort + prefix-offset rank (no single-reducer
     #    window); partition ids follow key order, so the written files are
-    #    globally ord-sorted.
+    #    globally ord-sorted. Reads only the flat key columns (column
+    #    pruning hits the scratch parquet).
+    tm.step("rank")
     ranked, ranked_handle = with_global_ord(
         fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
         priority_order(),
@@ -165,20 +212,24 @@ def run_round(
         "depth",
         "ok",
     )
+    tm.step("crawl_order_write")
     cat.append("crawl_order", order_rows, meta={"round": r})
     ranked_handle.unpersist()
 
     # 8. seen tier update (exact table + bloom bitmap). The bloom increment
-    #    is a treeAggregate of per-partition bitmaps — the driver never
-    #    sees individual hashes (no collect bottleneck at frontier scale).
+    #    aggregates per-partition bitmaps over a url_hash-only scan — the
+    #    driver never sees individual hashes.
+    tm.step("seen_write")
     cat.append("seen", _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
                meta={"round": r})
+    tm.step("bloom_agg")
     bloom |= build_bloom_distributed(
         ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
     )
 
     # 9. retries + dead letters (at-least-once semantics; reference nack ->
     #    dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46)
+    tm.step("dead_prep")
     retry_base = failed.withColumn("attempt", F.col("attempt") + 1).withColumn(
         "round", F.lit(r + 1).cast("int")
     )
@@ -194,15 +245,22 @@ def run_round(
         .withColumn("reason", F.lit("robots"))
         .withColumn("dead_round", F.lit(r).cast("int"))
     )
-    cat.append("dead", _part_by_hash(dead_robots.unionByName(dead_fetch), 1), meta={"round": r})
+    tm.step("dead_write")
+    sid_dead = cat.append(
+        "dead", _part_by_hash(dead_robots.unionByName(dead_fetch), 1), meta={"round": r}
+    )
 
     # 10. frontier expansion: outlinks -> next round's pending rows
+    tm.step("new_links_def")
     new_links = (
         ok.filter(F.col("depth") < cfg.max_depth)
         .select(
             F.col("url").alias("parent"),
             F.col("depth").alias("parent_depth"),
-            F.posexplode(outlinks_of(spans_of(F.col("payload")))).alias("seq", "url"),
+            F.posexplode(
+                F.when(F.col("links") == "", F.array().cast("array<string>"))
+                .otherwise(F.split(F.col("links"), SPANSEP_LIT))
+            ).alias("seq", "url"),
         )
         .transform(with_canonical)
         .select(
@@ -222,31 +280,43 @@ def run_round(
         .unionByName(retries)
         .unionByName(new_links)
     )
+    tm.step("pending_layout")
     pending_sorted = _part_by_hash(next_pending, cfg.frontier_partitions).sortWithinPartitions(
         "url_hash", "attempt", "depth", "seq", "parent"
     )
-    cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
+    sid_pending = cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
 
-    # 11. metrics + per-partition lineage. One tiny job over the persisted
-    #    fetch result for the ok/failed split; deferred/excluded counts hit
-    #    their persisted copies; pending_next comes from parquet footer
-    #    metadata (zero Spark jobs).
-    by_ok = {bool(row["ok"]): row["count"] for row in fetched.groupBy("ok").count().collect()}
-    n_ok, n_fail = int(by_ok.get(True, 0)), int(by_ok.get(False, 0))
+    # 11. metrics + per-partition lineage. Every count is DERIVED — from
+    #    parquet footer stats recorded at commit time (rows_delta) plus two
+    #    O(1) counts on cached intermediates — so the metrics step runs no
+    #    Spark job over round data and writes via a direct pyarrow commit.
+    tm.step("metrics_counts")
+    admitted_n = cat.rows_delta("fetched", sid_fetch)
+    ok_n = ok.count()  # pruned boolean-column scan of the scratch parquet
+    failed_n = admitted_n - ok_n
+    excluded_n = excluded.count()                    # cached robots_joined parent
+    dead_fetch_n = cat.rows_delta("dead", sid_dead) - excluded_n
+    retries_n = failed_n - dead_fetch_n
+    pending_next_n = cat.rows_delta("pending", sid_pending)
+    deferred_n = unseen.count() - admitted_n         # unseen = admitted + deferred
     counts = {
-        "admitted": n_ok + n_fail,
-        "fetched_ok": n_ok,
-        "failed": n_fail,
-        "deferred": deferred_df.count(),
-        "excluded": excluded.count(),
-        "new_links": new_links.count(),
-        "pending_next": cat.row_count("pending"),
+        "admitted": admitted_n,
+        "fetched_ok": ok_n,
+        "failed": failed_n,
+        "deferred": deferred_n,
+        "excluded": excluded_n,
+        "new_links": pending_next_n - deferred_n - retries_n,
+        "pending_next": pending_next_n,
     }
-    metrics_rows = spark.createDataFrame(
-        [("round", str(r), k, int(v), r) for k, v in counts.items()], METRICS
+    tm.step("metrics_write")
+    cat.append_rows(
+        "metrics",
+        [("round", str(r), k, int(v), r) for k, v in counts.items()],
+        METRICS,
+        meta={"round": r},
     )
-    cat.append("metrics", metrics_rows.coalesce(1), meta={"round": r})
-    for handle in (fetched, deferred_df, excluded):
+    tm.done()
+    for handle in (unseen, robots_joined):
         handle.unpersist()
 
     return RoundResult(

@@ -100,15 +100,35 @@ def fetch_ok_np(url_hash, attempt, cfg: CrawlConfig) -> np.ndarray:
     return _u01(_mix(h, 0xFE7C)) >= cfg.synth_fail_prob
 
 
-def payload_series(url_hash, own_host, cfg: CrawlConfig) -> pd.Series:
-    """url_hash + own host -> payload string, fully vectorized.
+def parse_work(url_hash, iters: int) -> int:
+    """Deterministic, cache-resident CPU stand-in for real page fetch+parse
+    cost. The sandbox's 1 KB synthetic pages are ~100× lighter than real
+    ~100 KB HTML (the reference parses watch pages with regex byte-scans
+    and lxml, view_count_crawler.py:41-118 — milliseconds per page), so
+    benchmarks may add ``iters`` splitmix64 passes (~3.4 µs per URL per
+    1000 iters) to measure the engine's orchestration at realistic
+    per-page compute. Pure register/L2 math — no memory-bandwidth
+    pressure, no effect on any output (result is discarded)."""
+    if iters <= 0 or len(url_hash) == 0:
+        return 0
+    x = _uh(url_hash).copy()
+    with np.errstate(over="ignore"):
+        for _ in range(iters):
+            x = _splitmix64_np(x)
+    return int(x[0] & np.uint64(1))
+
+
+def payload_series(url_hash, own_host, cfg: CrawlConfig) -> tuple[pd.Series, pd.Series]:
+    """url_hash + own host -> (payload, links) strings, fully vectorized.
 
     Span order within a page: stat, then (text, media?)*, tags, links —
-    the reference's stats-before-content document order."""
+    the reference's stats-before-content document order. ``links`` is the
+    outlink targets alone (SPANSEP-joined), pre-extracted so frontier
+    expansion reads a flat column instead of re-parsing the payload."""
     h = _uh(url_hash)
     n = len(h)
     if n == 0:
-        return pd.Series([], dtype=object)
+        return pd.Series([], dtype=object), pd.Series([], dtype=object)
 
     slots: list[pd.Series] = []
 
@@ -153,21 +173,28 @@ def payload_series(url_hash, own_host, cfg: CrawlConfig) -> pd.Series:
 
     n_link = (_mix(h, 6) % np.uint64(_MAX_LINK - 1)).astype(np.int64) + 2  # 2..8
     own = pd.Series(np.asarray(own_host, dtype=object))
+    link_targets: list[pd.Series] = []
     for j in range(_MAX_LINK):
         cross = _u01(_mix(h, 50 + j)) >= 0.5
         tgt_host = own.where(
             ~cross,
             pd.Series(host_arr[np.searchsorted(cdf, _u01(_mix(h, 60 + j)))]),
         )
-        link = (
-            "link" + FIELD + FIELD + "http://" + tgt_host + "/p/"
-            + _hexcol(_mix(h, 70 + j) % np.uint64(1 << 48), 12)
+        target = (
+            "http://" + tgt_host + "/p/" + _hexcol(_mix(h, 70 + j) % np.uint64(1 << 48), 12)
         )
+        target = target.where(j < n_link, "")
+        link_targets.append(target)
+        link = "link" + FIELD + FIELD + target
         slots.append(link.where(j < n_link, ""))
 
-    payload = slots[0].str.cat(slots[1:], sep=SPANSEP)
-    # collapse absent slots: runs of the separator -> one, strip ends
-    return payload.str.replace(f"{SPANSEP}+", SPANSEP, regex=True).str.strip(SPANSEP)
+    def _collapse(s: pd.Series) -> pd.Series:
+        # collapse absent slots: runs of the separator -> one, strip ends
+        return s.str.replace(f"{SPANSEP}+", SPANSEP, regex=True).str.strip(SPANSEP)
+
+    payload = _collapse(slots[0].str.cat(slots[1:], sep=SPANSEP))
+    links = _collapse(link_targets[0].str.cat(link_targets[1:], sep=SPANSEP))
+    return payload, links
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +221,8 @@ def _host_of(url: str) -> str:
 def page_for(url: str, cfg: CrawlConfig) -> dict:
     """Pure URL -> parsed page (scalar path for the oracle/tests)."""
     h = np.array([xxhash64_str(url)], dtype=np.int64)
-    payload = payload_series(h, np.array([_host_of(url)], dtype=object), cfg).iloc[0]
-    return parse_payload(payload)
+    payload, _ = payload_series(h, np.array([_host_of(url)], dtype=object), cfg)
+    return parse_payload(payload.iloc[0])
 
 
 def fetch_ok(url: str, attempt: int, cfg: CrawlConfig) -> bool:
