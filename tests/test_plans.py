@@ -1,0 +1,125 @@
+"""Physical-plan assertions: the optimizations the engine relies on must
+be visible in the plans Catalyst actually produces — broadcast of
+dimension sides, column pruning into the parquet scan, predicate
+pushdown, no single-reducer exchanges on the hot path, explicit
+fixed-count partitioning for the fetch stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_fk_join_broadcasts_dimensions(spark):
+    from swmaestro_crawler_spark.operators.relational import q_revenue_per_nation
+
+    plan = plan_of(q_revenue_per_nation(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_prunes_columns_and_partial_aggregates(spark):
+    from swmaestro_crawler_spark.operators.relational import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, SF_DIR))
+    # scan reads only the 5 needed columns, never the wide rest
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+    # map-side partial + final hash aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_anti_join_semi_join_shapes(spark):
+    from swmaestro_crawler_spark.operators.relational import (
+        q_customers_without_orders,
+        q_parts_both_suppliers_and_lineitems,
+    )
+
+    assert "LeftAnti" in plan_of(q_customers_without_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan_of(q_parts_both_suppliers_and_lineitems(spark, SF_DIR))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "o_orderpriority" in plan.split("PushedFilters", 1)[1]
+
+
+def test_global_ord_has_no_single_partition_exchange(spark):
+    """The crawl-order rank must never funnel rows through one reducer."""
+    from swmaestro_crawler_spark.plans.round import with_global_ord
+
+    df = spark.range(0, 1000, 1, 8).select(
+        F.col("id").alias("url_hash"),
+        (F.col("id") % 3).alias("depth"),
+        (F.col("id") % 7).alias("seq"),
+    )
+    ranked, handle = with_global_ord(
+        df, [F.col("depth").desc(), F.col("seq").asc(), F.col("url_hash").asc()], 8
+    )
+    plan = plan_of(ranked)
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    rows = ranked.orderBy("ord").collect()
+    assert [r.ord for r in rows] == list(range(1000))  # dense, 0-based
+    keys = [(-r.depth, r.seq, r.url_hash) for r in rows]
+    assert keys == sorted(keys)  # ord follows the priority key exactly
+    handle.unpersist()
+
+
+def test_fetch_stage_partition_count_is_explicit(spark, cfg):
+    """The fetch stage pins its partition count (frontier_partitions) so
+    AQE cannot coalesce it below cluster parallelism, and spreads a host
+    over fetch_host_splits sub-buckets."""
+    from swmaestro_crawler_spark.operators.fetch import fetch_stage
+    from swmaestro_crawler_spark.plans.crawl import seeds_to_frontier
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    frontier = seeds_to_frontier(
+        spark.createDataFrame(make_seeds(cfg, 64))
+    ).withColumn("fingerprint", F.hash(F.col("url")))
+    fetched = fetch_stage(frontier, cfg, 0)
+    assert fetched.rdd.getNumPartitions() == cfg.frontier_partitions
+    plan = plan_of(fetched)
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_politeness_windows_are_host_partitioned_not_global(spark, cfg):
+    from swmaestro_crawler_spark.operators.politeness import (
+        split_admitted,
+        synth_robots,
+    )
+    from swmaestro_crawler_spark.plans.crawl import seeds_to_frontier
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    frontier = seeds_to_frontier(spark.createDataFrame(make_seeds(cfg, 64)))
+    admitted, _ = split_admitted(frontier, synth_robots(spark, cfg), cfg)
+    plan = plan_of(admitted)
+    # two-phase: first window keyed by (host, salted sub-bucket), second by host
+    assert plan.count("Window") >= 2
+    assert "pmod" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_robots_join_is_broadcast(spark, cfg):
+    from swmaestro_crawler_spark.operators.politeness import (
+        split_robots_excluded,
+        synth_robots,
+    )
+    from swmaestro_crawler_spark.plans.crawl import seeds_to_frontier
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    frontier = seeds_to_frontier(spark.createDataFrame(make_seeds(cfg, 64)))
+    allowed, _, _ = split_robots_excluded(frontier, synth_robots(spark, cfg))
+    assert "BroadcastHashJoin" in plan_of(allowed)
