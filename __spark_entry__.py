@@ -60,9 +60,17 @@ def _all_modules():
         similarity,
         text_analysis,
     )
-    from swmaestro_crawler_spark.streaming import stream_metrics
+    from swmaestro_crawler_spark.streaming import sessionize, stream_metrics
 
-    return (relational, dedup, text_analysis, similarity, multimodal, stream_metrics)
+    return (
+        relational,
+        dedup,
+        text_analysis,
+        similarity,
+        multimodal,
+        stream_metrics,
+        sessionize,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -306,6 +306,41 @@ WHERE l_linenumber = 1
 """
 
 
+# F8/F9/F11 — datetime surgery: ISO-8601 round-trip
+# (strptime('%Y-%m-%dT%H:%M:%SZ'), New_YouTube_Crawler.py:235-241),
+# epoch->timestamp (to_timestamp(time.time()), :133-135), fixed +9h KST
+# shift (Selenium_YouTube_Crawler/YouTube_Crawler.py:532,549; Seoul has no
+# DST, so the zone shift equals the reference's interval arithmetic)
+def q_datetime_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    iso = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    reparsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    epoch_s = F.unix_micros(ts) - F.pmod(F.unix_micros(ts), F.lit(1_000_000))
+    return e.select(
+        "event_id",
+        iso.alias("iso"),
+        F.date_format(reparsed, "yyyy-MM-dd HH:mm:ss").alias("reparsed"),
+        F.date_format(
+            F.timestamp_micros(epoch_s), "yyyy-MM-dd HH:mm:ss"
+        ).alias("from_epoch"),
+        F.date_format(
+            F.from_utc_timestamp(ts, "Asia/Seoul"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("kst"),
+    )
+
+
+SQL_DATETIME_SURGERY = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+       strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                         '%Y-%m-%dT%H:%M:%SZ'), '%Y-%m-%d %H:%M:%S') AS reparsed,
+       strftime(to_timestamp(epoch_us(ts) // 1000000), '%Y-%m-%d %H:%M:%S') AS from_epoch,
+       strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d %H:%M:%S') AS kst
+FROM events
+"""
+
+
 # F6 — JSON payload field extraction (reference: Data-API JSON traversal,
 # New_YouTube_Crawler.py:101-105)
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,6 +434,7 @@ QUERIES = {
     "daily_event_metrics": (q_daily_event_metrics, SQL_DAILY_EVENT_METRICS),
     "user_event_gaps_window": (q_user_event_gaps, SQL_USER_EVENT_GAPS),
     "scalar_surgery": (q_scalar_surgery, SQL_SCALAR_SURGERY),
+    "datetime_surgery": (q_datetime_surgery, SQL_DATETIME_SURGERY),
     "json_extract_agg": (q_json_extract, SQL_JSON_EXTRACT),
     "budget_admission": (q_budget_admission, SQL_BUDGET_ADMISSION),
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
