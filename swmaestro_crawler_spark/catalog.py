@@ -274,6 +274,50 @@ class Catalog:
             h.update(sink.getvalue().to_pybytes())
         return h.hexdigest()
 
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.exists(self._manifest_path(d))
+        )
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> int:
+        """Drop snapshot ENTRIES older than the last ``keep_last`` (data
+        files are only reclaimed by ``vacuum``, which accounts for
+        zero-copy shares). Returns snapshots removed. Time travel back
+        past the horizon is no longer possible — same contract as
+        Iceberg's expire_snapshots."""
+        m = self._load_manifest(table)
+        if len(m["snapshots"]) <= keep_last:
+            return 0
+        keep_ids = {s["id"] for s in m["snapshots"][-keep_last:]} | {m["current"]}
+        before = len(m["snapshots"])
+        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep_ids]
+        self._commit_manifest(table, m)
+        return before - len(m["snapshots"])
+
+    def vacuum(self) -> int:
+        """Delete data files no snapshot of ANY table references (safe
+        under zero-copy shares: a file lives while any manifest lists it).
+        Returns files deleted. Run after expire_snapshots."""
+        live: set[str] = set()
+        for t in self.list_tables():
+            tdir = self._dir(t)
+            for snap in self._load_manifest(t)["snapshots"]:
+                for f in snap["files"]:
+                    live.add(os.path.realpath(os.path.join(tdir, f)))
+        deleted = 0
+        for t in self.list_tables():
+            data_dir = os.path.join(self._dir(t), "data")
+            if not os.path.isdir(data_dir):
+                continue
+            for name in os.listdir(data_dir):
+                full = os.path.realpath(os.path.join(data_dir, name))
+                if full not in live:
+                    os.remove(full)
+                    deleted += 1
+        return deleted
+
     def rollback(self, table: str, snapshot: int) -> None:
         """Reset ``current`` to an earlier snapshot and discard later ones
         (used on resume so a half-finished round's appends are undone;
