@@ -36,9 +36,12 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     host = host.where(~((scheme == "http") & host.str.endswith(":80")), host.str.slice(0, -3))
     host = host.where(~((scheme == "https") & host.str.endswith(":443")), host.str.slice(0, -4))
     rest = parts["rest"].fillna("")
+    # strip ALL trailing '/' (one at a time would not be idempotent) and
+    # guarantee a leading '/' (a query with no path, 'host?q', must become
+    # 'host/?q') — both found by tests/test_canonical_properties.py
+    rest = rest.str.replace(r"/+$", "", regex=True)
+    rest = rest.where(rest.str.startswith("/") | (rest == ""), "/" + rest)
     rest = rest.where(rest != "", "/")
-    # strip trailing '/' on the path part unless the whole rest is '/'
-    rest = rest.where(~(rest.str.endswith("/") & (rest != "/")), rest.str.slice(0, -1))
     return scheme.str.cat(host, sep="://").str.cat(rest)
 
 

@@ -126,6 +126,40 @@ class Crawl:
         bloom = np.load(os.path.join(self.cat.warehouse, ckpt["bloom"]))
         return ckpt["round"] + 1, bloom
 
+    def requeue_dead(self, reason: str = "max_attempts") -> int:
+        """Drain the dead-letter table back into the frontier — the
+        reference's dead-queue drainers republish failed ids for another
+        pass (channel_updater_dead at
+        New_YouTube_Crawler_Channel_Updater_Error.py:31-56,
+        video_crawler_dead at New_YouTube_Crawler_proxy_APP_Error.py:26-51).
+        Requeued rows restart with attempt=0; the dead table keeps only
+        the other reasons. Returns rows requeued."""
+        from ..schema import DEAD
+        from .round import FRONTIER_COLS, _part_by_hash
+
+        dead = self.cat.read("dead", DEAD)
+        requeue = dead.filter(F.col("reason") == reason)
+        keep = dead.filter(F.col("reason") != reason)
+        pending = self.cat.read("pending", FRONTIER)
+        revived = requeue.select(*FRONTIER_COLS).withColumn(
+            "attempt", F.lit(0).cast("int")
+        )
+        merged = _part_by_hash(
+            pending.unionByName(revived), self.cfg.frontier_partitions
+        ).sortWithinPartitions("url_hash", "attempt", "depth", "seq", "parent")
+        sid = self.cat.overwrite("pending", merged)
+        n = self.cat.rows_delta("pending", sid) - self.cat.row_count(
+            "pending", self.cat.current_snapshot("pending") - 1
+        )
+        self.cat.overwrite("dead", _part_by_hash(keep, 1))
+        # fold the requeue into the checkpoint, else a later resume would
+        # roll pending/dead back and silently undo it
+        ckpt = self._load_checkpoint()
+        if ckpt is not None:
+            bloom = np.load(os.path.join(self.cat.warehouse, ckpt["bloom"]))
+            self._write_checkpoint(ckpt["round"], bloom)
+        return n
+
     def run(self, seeds: DataFrame, rounds: int | None = None) -> list[RoundResult]:
         """Run (or resume) the crawl for up to ``rounds`` rounds."""
         rounds = rounds if rounds is not None else self.cfg.max_rounds
