@@ -72,27 +72,33 @@ class Catalog:
         df.write.mode("overwrite").parquet(stage)
         data_dir = os.path.join(self._dir(table), "data")
         os.makedirs(data_dir, exist_ok=True)
-        files, rows = [], 0
+        files, file_rows = [], []
         for name in sorted(os.listdir(stage)):
             if not name.endswith(".parquet"):
                 continue
-            rows += pq.ParquetFile(os.path.join(stage, name)).metadata.num_rows
+            file_rows.append(pq.ParquetFile(os.path.join(stage, name)).metadata.num_rows)
             dst = f"snap-{uuid.uuid4().hex}-{name.split('-')[1]}.parquet"
             shutil.move(os.path.join(stage, name), os.path.join(data_dir, dst))
             files.append(os.path.join("data", dst))
         shutil.rmtree(stage, ignore_errors=True)
-        return files, rows
+        return files, file_rows
 
     def append(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
         """Append rows as a new snapshot; returns the snapshot id. The
-        snapshot meta records ``rows_delta`` (rows in THIS append)."""
-        files, rows = self._write_files(table, df)
+        snapshot meta records ``rows_delta`` (rows in THIS append) and
+        ``file_rows`` — per-partition lineage (one written file per task
+        partition, rows from the parquet footers)."""
+        files, file_rows = self._write_files(table, df)
         m = self._load_manifest(table)
         prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
         base = prev[0]["files"] if prev else []
         sid = m["current"] + 1
         m["snapshots"].append(
-            {"id": sid, "files": base + files, "meta": dict(meta or {}, rows_delta=rows)}
+            {
+                "id": sid,
+                "files": base + files,
+                "meta": dict(meta or {}, rows_delta=sum(file_rows), file_rows=file_rows),
+            }
         )
         m["current"] = sid
         self._commit_manifest(table, m)
@@ -146,11 +152,15 @@ class Catalog:
     def overwrite(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
         """Replace table contents as a new snapshot (old files retained for
         time travel / resume)."""
-        files, rows = self._write_files(table, df)
+        files, file_rows = self._write_files(table, df)
         m = self._load_manifest(table)
         sid = m["current"] + 1
         m["snapshots"].append(
-            {"id": sid, "files": files, "meta": dict(meta or {}, rows_delta=rows)}
+            {
+                "id": sid,
+                "files": files,
+                "meta": dict(meta or {}, rows_delta=sum(file_rows), file_rows=file_rows),
+            }
         )
         m["current"] = sid
         self._commit_manifest(table, m)
@@ -159,6 +169,11 @@ class Catalog:
     def rows_delta(self, table: str, snapshot: int) -> int:
         """Rows written by snapshot ``snapshot`` (from footer stats)."""
         return int(self.snapshot_meta(table, snapshot).get("rows_delta", 0))
+
+    def file_rows(self, table: str, snapshot: int) -> list[int]:
+        """Per-partition lineage of a snapshot: rows per written file, in
+        partition order (footer stats captured at commit)."""
+        return list(self.snapshot_meta(table, snapshot).get("file_rows", []))
 
     def append_files(
         self,
@@ -186,6 +201,7 @@ class Catalog:
         rel = os.path.relpath(self._dir(src_table), self._dir(table))
         files = [os.path.join(rel, f) for f in src_snap[0]["files"]]
         rows = src_snap[0]["meta"].get("rows_delta", 0)
+        file_rows = src_snap[0]["meta"].get("file_rows", [])
         m = self._load_manifest(table)
         props = m.get("props", {})
         new_props = {
@@ -200,7 +216,11 @@ class Catalog:
         base = prev[0]["files"] if prev else []
         sid = m["current"] + 1
         m["snapshots"].append(
-            {"id": sid, "files": base + files, "meta": dict(meta or {}, rows_delta=rows)}
+            {
+                "id": sid,
+                "files": base + files,
+                "meta": dict(meta or {}, rows_delta=rows, file_rows=file_rows),
+            }
         )
         m["current"] = sid
         self._commit_manifest(table, m)

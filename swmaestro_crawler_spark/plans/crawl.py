@@ -31,7 +31,7 @@ from ..operators.seen import empty_bloom
 from ..schema import FRONTIER, ROBOTS
 from .round import FRONTIER_COLS, RoundResult, _part_by_hash, run_round
 
-TABLES = ("pending", "seen", "spans", "dead", "crawl_order", "metrics", "robots", "fetched")
+TABLES = ("pending", "seen", "spans", "dead", "crawl_order", "metrics", "robots", "fetched", "lineage")
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
@@ -106,7 +106,7 @@ class Crawl:
             ),
             meta={"round": 0},
         )
-        for t in ("seen", "spans", "dead", "crawl_order", "metrics", "fetched"):
+        for t in ("seen", "spans", "dead", "crawl_order", "metrics", "fetched", "lineage"):
             # materialize an empty snapshot 0 so resume rollback has a target
             self.cat._commit_manifest(
                 t, {"snapshots": [{"id": 0, "files": [], "meta": {}}], "current": 0}

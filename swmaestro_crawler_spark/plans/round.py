@@ -33,7 +33,7 @@ from ..operators.politeness import (
 )
 from ..operators.seen import as_seen_rows, build_bloom_distributed, filter_unseen
 from ..sources.synth_web import SPANSEP as SPANSEP_LIT
-from ..schema import CRAWL_ORDER, DEAD, FRONTIER, METRICS, SEEN, SPANS_DOC
+from ..schema import CRAWL_ORDER, DEAD, FRONTIER, LINEAGE, METRICS, SEEN, SPANS_DOC
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
@@ -213,15 +213,18 @@ def run_round(
         "ok",
     )
     tm.step("crawl_order_write")
-    cat.append("crawl_order", order_rows, meta={"round": r})
+    sid_order = cat.append("crawl_order", order_rows, meta={"round": r})
     ranked_handle.unpersist()
 
     # 8. seen tier update (exact table + bloom bitmap). The bloom increment
     #    aggregates per-partition bitmaps over a url_hash-only scan — the
     #    driver never sees individual hashes.
     tm.step("seen_write")
-    cat.append("seen", _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
-               meta={"round": r})
+    sid_seen = cat.append(
+        "seen",
+        _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
+        meta={"round": r},
+    )
     tm.step("bloom_agg")
     bloom |= build_bloom_distributed(
         ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
@@ -315,6 +318,21 @@ def run_round(
         METRICS,
         meta={"round": r},
     )
+    # per-partition lineage (north rule): rows-out per written partition of
+    # every stage this round committed — straight from the manifests'
+    # footer stats, no Spark job
+    lineage_rows = [
+        (r, stage, pid, int(n))
+        for stage, sid in (
+            ("fetched", sid_fetch),
+            ("seen", sid_seen),
+            ("crawl_order", sid_order),
+            ("dead", sid_dead),
+            ("pending", sid_pending),
+        )
+        for pid, n in enumerate(cat.file_rows(stage, sid))
+    ]
+    cat.append_rows("lineage", lineage_rows, LINEAGE, meta={"round": r})
     tm.done()
     for handle in (unseen, robots_joined):
         handle.unpersist()
