@@ -44,6 +44,23 @@ class CrawlConfig:
     # storage
     warehouse: str = "./warehouse"
 
+    def __post_init__(self) -> None:
+        """Driver-side config guard (reference P7: the proxy-port range
+        check at New_YouTube_Crawler_proxy_APP.py:26-30 rejects workers
+        outside 5035-5049 before any work starts)."""
+        if self.frontier_partitions < 1:
+            raise ValueError("frontier_partitions must be >= 1")
+        if not (0 < self.round_seconds):
+            raise ValueError("round_seconds must be positive")
+        if self.max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1 (reference retries=5)")
+        if self.bloom_bits < 64 or self.bloom_bits % 64:
+            raise ValueError("bloom_bits must be a positive multiple of 64")
+        if self.bloom_hashes < 1:
+            raise ValueError("bloom_hashes must be >= 1")
+        if not (0.0 <= self.synth_fail_prob < 1.0):
+            raise ValueError("synth_fail_prob must be in [0, 1)")
+
     # synthetic web (sandbox transport; swap for an HTTP fetcher in prod)
     synth_n_hosts: int = 200
     synth_zipf_s: float = 1.2

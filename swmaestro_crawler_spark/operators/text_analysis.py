@@ -101,8 +101,42 @@ SQL_LANG_GUESS = f"""
 SELECT doc_id, lang, {sql_lang_guess(_WS)} AS lang_guess FROM documents
 """
 
+# F7 — rich-text runs flatten: the reference joins a comment's styled-text
+# runs back into one string (''.join(c['text'] for c in contentText.runs),
+# New_YouTube_Crawler_Comment.py:172). Engine form: build the runs
+# array<struct<text,bold>> then array_join(transform(runs, r -> r.text)).
+def q_runs_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    runs = F.transform(
+        ws, lambda w, i: F.struct(w.alias("text"), (i % 2 == 0).alias("bold"))
+    )
+    flat = F.array_join(F.transform(runs, lambda r: r["text"]), " ")
+    return d.select(
+        "doc_id",
+        F.size(runs).alias("n_runs"),
+        (flat == F.array_join(ws, " ")).cast("int").alias("lossless"),
+        F.substring(flat, 1, 40).alias("flat_prefix"),
+    )
+
+
+SQL_RUNS_FLATTEN = f"""
+WITH r AS (
+  SELECT doc_id,
+         list_transform({_WS}, w -> {{'text': w}}) AS runs,
+         array_to_string({_WS}, ' ') AS direct
+  FROM documents)
+SELECT doc_id, len(runs) AS n_runs,
+       CAST(array_to_string(list_transform(runs, x -> x.text), ' ') = direct AS INT)
+         AS lossless,
+       substr(array_to_string(list_transform(runs, x -> x.text), ' '), 1, 40)
+         AS flat_prefix
+FROM r
+"""
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_guess": (q_lang_guess, SQL_LANG_GUESS),
+    "text_runs_flatten": (q_runs_flatten, SQL_RUNS_FLATTEN),
 }
