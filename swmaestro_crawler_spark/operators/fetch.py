@@ -76,7 +76,10 @@ def synth_transport(cfg: CrawlConfig) -> BatchTransport:
         links = pd.Series([""] * len(pdf), dtype=object)
         if ok.any():
             pl, lk = synth_web.payload_series(
-                hashes[ok], pdf["host"].to_numpy(dtype=object)[ok], cfg
+                hashes[ok],
+                pdf["host"].to_numpy(dtype=object)[ok],
+                cfg,
+                synth_web.kind_codes(pdf["url"])[ok],
             )
             payload[ok] = pl.to_numpy(dtype=object)
             links[ok] = lk.to_numpy(dtype=object)

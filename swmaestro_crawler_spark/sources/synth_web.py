@@ -48,6 +48,26 @@ _MAX_TEXT = 5   # 1..5 text spans, each optionally followed by a media span
 _MAX_TAG = 2    # 0..2 tag spans
 _MAX_LINK = 8   # 2..8 link spans
 
+# Typed page kinds mirroring the reference's crawl graph (supervisor
+# stages channel_updater -> video_inserter -> video_crawler,
+# supervisor.py:38-196): /ch/ channel pages (X1) link to own-host
+# playlists; /pl/ playlist pages (S6) link to own-host watch pages plus a
+# paginated next-page continuation; /w/ watch pages (X5/X3) carry stats,
+# comments, tags and cross-host related links. Any other path (e.g. /p/)
+# uses the watch template.
+KIND_CHANNEL, KIND_PLAYLIST, KIND_WATCH = 0, 1, 2
+_KIND_PREFIX = {KIND_CHANNEL: "/ch/", KIND_PLAYLIST: "/pl/", KIND_WATCH: "/w/"}
+
+
+def kind_codes(urls: pd.Series) -> np.ndarray:
+    """Vectorized page-kind from the URL path prefix."""
+    path_kind = urls.str.extract(r"://[^/]*/(ch|pl|w)/", expand=False)
+    return (
+        path_kind.map({"ch": KIND_CHANNEL, "pl": KIND_PLAYLIST, "w": KIND_WATCH})
+        .fillna(KIND_WATCH)
+        .to_numpy(dtype=np.int64)
+    )
+
 
 @lru_cache(maxsize=8)
 def hosts(n_hosts: int) -> tuple[str, ...]:
@@ -118,32 +138,54 @@ def parse_work(url_hash, iters: int) -> int:
     return int(x[0] & np.uint64(1))
 
 
-def payload_series(url_hash, own_host, cfg: CrawlConfig) -> tuple[pd.Series, pd.Series]:
-    """url_hash + own host -> (payload, links) strings, fully vectorized.
+def payload_series(
+    url_hash, own_host, cfg: CrawlConfig, kind_code=None
+) -> tuple[pd.Series, pd.Series]:
+    """url_hash + own host (+ page kind) -> (payload, links) strings,
+    fully vectorized.
 
     Span order within a page: stat, then (text, media?)*, tags, links —
     the reference's stats-before-content document order. ``links`` is the
     outlink targets alone (SPANSEP-joined), pre-extracted so frontier
-    expansion reads a flat column instead of re-parsing the payload."""
+    expansion reads a flat column instead of re-parsing the payload.
+
+    Kind templates (see KIND_* above): channel = subscriber stat, 2 text
+    spans, avatar media, 2-4 own-host playlist links; playlist = item
+    stat, 1 text span, 4-8 own-host watch links + a 50% next-page
+    continuation (the reference's LIFO pagination, O2); watch = the
+    view/like stat, 1-5 text spans with thumbnails, tags, 2-8 related
+    watch links (cross-host 50%)."""
     h = _uh(url_hash)
     n = len(h)
     if n == 0:
         return pd.Series([], dtype=object), pd.Series([], dtype=object)
+    kc = (
+        np.full(n, KIND_WATCH, dtype=np.int64)
+        if kind_code is None
+        else np.asarray(kind_code, dtype=np.int64)
+    )
+    is_ch, is_pl = kc == KIND_CHANNEL, kc == KIND_PLAYLIST
 
     slots: list[pd.Series] = []
 
     views = _mix(h, 1) % np.uint64(1_000_000)
     likes = _mix(h, 2) % np.uint64(10_000)
     dislikes = _mix(h, 3) % np.uint64(1_000)
-    stat = (
-        "stat" + FIELD + "views=" + pd.Series(views.astype(str))
+    watch_stat = (
+        "views=" + pd.Series(views.astype(str))
         + " likes=" + pd.Series(likes.astype(str))
         + " dislikes=" + pd.Series(dislikes.astype(str))
-        + FIELD
     )
+    ch_stat = (
+        "subscribers=" + pd.Series(views.astype(str))
+        + " videos=" + pd.Series(likes.astype(str))
+    )
+    pl_stat = "items=" + pd.Series(likes.astype(str))
+    stat = "stat" + FIELD + watch_stat.where(~is_ch, ch_stat).where(~is_pl, pl_stat) + FIELD
     slots.append(stat)
 
     n_text = (_mix(h, 4) % np.uint64(_MAX_TEXT)).astype(np.int64) + 1  # 1..5
+    n_text = np.where(is_ch, 2, np.where(is_pl, 1, n_text))
     cdf = _zipf_cdf(cfg.synth_n_hosts, cfg.synth_zipf_s)
     host_arr = np.asarray(hosts(cfg.synth_n_hosts))
     for j in range(_MAX_TEXT):
@@ -161,10 +203,15 @@ def payload_series(url_hash, own_host, cfg: CrawlConfig) -> tuple[pd.Series, pd.
             "media" + FIELD + FIELD + "http://cdn.example.com/img/"
             + _hexcol(_mix(h, 30 + j) % np.uint64(1 << 40), 10) + ".jpg"
         )
-        has_media = (j < n_text) & (_u01(_mix(h, 80 + j)) < 0.4)
+        # watch: 40% thumbnail per text span; channel: avatar after the
+        # first text span; playlist: no media
+        has_media = (j < n_text) & np.where(
+            is_ch, j == 0, np.where(is_pl, False, _u01(_mix(h, 80 + j)) < 0.4)
+        )
         slots.append(media.where(has_media, ""))
 
     n_tag = (_mix(h, 5) % np.uint64(_MAX_TAG + 1)).astype(np.int64)  # 0..2
+    n_tag = np.where(kc == KIND_WATCH, n_tag, 0)  # og:video:tag on watch only
     for j in range(_MAX_TAG):
         tag = "tag" + FIELD + pd.Series(
             _VOCAB_ARR[(_mix(h, 40 + j) % np.uint64(len(VOCAB))).astype(np.int64)]
@@ -172,16 +219,28 @@ def payload_series(url_hash, own_host, cfg: CrawlConfig) -> tuple[pd.Series, pd.
         slots.append(tag.where(j < n_tag, ""))
 
     n_link = (_mix(h, 6) % np.uint64(_MAX_LINK - 1)).astype(np.int64) + 2  # 2..8
+    n_link = np.where(
+        is_ch,
+        (_mix(h, 7) % np.uint64(3)).astype(np.int64) + 2,   # 2..4 playlists
+        np.where(is_pl, (_mix(h, 8) % np.uint64(5)).astype(np.int64) + 4, n_link),
+    )
     own = pd.Series(np.asarray(own_host, dtype=object))
     link_targets: list[pd.Series] = []
     for j in range(_MAX_LINK):
-        cross = _u01(_mix(h, 50 + j)) >= 0.5
+        # cross-host related links exist only on watch pages
+        cross = (kc == KIND_WATCH) & (_u01(_mix(h, 50 + j)) >= 0.5)
         tgt_host = own.where(
             ~cross,
             pd.Series(host_arr[np.searchsorted(cdf, _u01(_mix(h, 60 + j)))]),
         )
+        # target path prefix by page kind: channels link to playlists;
+        # playlists link to watches except a 50% last-slot next-page
+        # continuation (/pl/); watches link to watches
+        is_next_page = is_pl & (j == (n_link - 1)) & (_u01(_mix(h, 9)) < 0.5)
+        prefix = pd.Series(np.where(is_ch, "/pl/", np.where(is_next_page, "/pl/", "/w/")))
         target = (
-            "http://" + tgt_host + "/p/" + _hexcol(_mix(h, 70 + j) % np.uint64(1 << 48), 12)
+            "http://" + tgt_host + prefix
+            + _hexcol(_mix(h, 70 + j) % np.uint64(1 << 48), 12)
         )
         target = target.where(j < n_link, "")
         link_targets.append(target)
@@ -221,7 +280,12 @@ def _host_of(url: str) -> str:
 def page_for(url: str, cfg: CrawlConfig) -> dict:
     """Pure URL -> parsed page (scalar path for the oracle/tests)."""
     h = np.array([xxhash64_str(url)], dtype=np.int64)
-    payload, _ = payload_series(h, np.array([_host_of(url)], dtype=object), cfg)
+    payload, _ = payload_series(
+        h,
+        np.array([_host_of(url)], dtype=object),
+        cfg,
+        kind_codes(pd.Series([url])),
+    )
     return parse_payload(payload.iloc[0])
 
 
@@ -240,8 +304,8 @@ def _pick_host(rng: np.random.Generator, cfg: CrawlConfig) -> str:
     return hosts(cfg.synth_n_hosts)[int(np.searchsorted(cdf, rng.random()))]
 
 
-def _new_path(rng: np.random.Generator) -> str:
-    return f"/p/{rng.integers(0, 1 << 48):012x}"
+def _new_path(rng: np.random.Generator, prefix: str = "/ch/") -> str:
+    return f"{prefix}{rng.integers(0, 1 << 48):012x}"
 
 
 def robots_for_host(host: str, cfg: CrawlConfig) -> dict:
