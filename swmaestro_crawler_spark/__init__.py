@@ -13,8 +13,9 @@ DataFrame pipelines:
 - per-host politeness budget as a window-rank operator instead of
   ``time.sleep`` (reference: New_YouTube_Crawler.py:93,
   New_YouTube_Crawler_Comment.py:443-448)
-- batch fetch via ``applyInPandas`` host groups instead of one process per
-  proxy port (reference: supervisor.py:146-160)
+- batch fetch + span extraction as one fused ``mapInArrow`` pass over
+  salted host sub-buckets instead of one process per proxy port
+  (reference: supervisor.py:146-160)
 - interleaved text+media span documents as
   ``array<struct<kind,text,media_ref,offset>>`` columns instead of
   flattened SQL INSERTs (reference: New_YouTube_Crawler_Comment.py:168-183)
