@@ -125,11 +125,24 @@ def main() -> None:
         "cpus": cpus,
         "crawl": crawl,
     }
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    scaling_path = os.path.join(bench_dir, "scaling.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)  # produced by tools/bench_scaling.py
-    print(json.dumps(out))
+    # persist the full result for round-over-round diffs (the driver's
+    # stdout capture can truncate long lines); keep the stdout line itself
+    # to the headline keys only
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    line = dict(out)
+    if "scaling" in line:  # compact: full record lives in BENCH/bench.json
+        line["scaling"] = {
+            k: line["scaling"].get(k)
+            for k in ("scaling_efficiency", "efficiencies", "passes")
+        }
+    print(json.dumps(line))
     spark.stop()
 
 

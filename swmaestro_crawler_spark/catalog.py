@@ -167,7 +167,12 @@ class Catalog:
         return sid
 
     def rows_delta(self, table: str, snapshot: int) -> int:
-        """Rows written by snapshot ``snapshot`` (from footer stats)."""
+        """PHYSICAL rows written by snapshot ``snapshot`` (from footer
+        stats). For zero-copy tables with a ``row_filter`` prop this is
+        the PRE-filter file row count — rows the filter excludes are
+        included (same contract as Iceberg manifest stats over files
+        carrying delete predicates). Callers needing the logical count of
+        a filtered table must run a count over ``read``."""
         return int(self.snapshot_meta(table, snapshot).get("rows_delta", 0))
 
     def file_rows(self, table: str, snapshot: int) -> list[int]:
@@ -243,17 +248,37 @@ class Catalog:
         props = m.get("props", {})
         if not props:
             return self.spark.read.schema(schema).parquet(*paths)
+        # Prop tables read the SOURCE files (other column names), so the
+        # declared schema is enforced by explicit per-column casts after the
+        # name mapping rather than at scan time (the row_filter may also
+        # reference source columns absent from the declared schema). Casts
+        # are applied only where the parquet-inferred type truly differs —
+        # nullability is erased for the comparison, since Spark refuses
+        # nullable->non-null casts on nested types yet the data is valid.
         df = self.spark.read.parquet(*paths)
         if props.get("row_filter"):
             df = df.filter(props["row_filter"])
         cmap = props.get("column_map", {})
-        return df.select(
-            *[F.col(cmap.get(f.name, f.name)).alias(f.name) for f in schema.fields]
-        )
+
+        def _erase_null(dt):
+            return dt.json().replace('"nullable":false', '"nullable":true').replace(
+                '"containsNull":false', '"containsNull":true'
+            )
+
+        src_types = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in schema.fields:
+            src = cmap.get(f.name, f.name)
+            c = F.col(src)
+            if _erase_null(src_types[src]) != _erase_null(f.dataType):
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        return df.select(*cols)
 
     def row_count(self, table: str, snapshot: int | None = None) -> int:
         """Row count from parquet footer metadata — no Spark job (the
-        Iceberg analogue reads it from manifest stats)."""
+        Iceberg analogue reads it from manifest stats). PRE-filter for
+        zero-copy tables with a ``row_filter`` prop (see rows_delta)."""
         import pyarrow.parquet as pq
 
         return sum(

@@ -62,11 +62,16 @@ def build_bloom_distributed(df: DataFrame, bits: int, k: int,
     """Aggregate per-partition bitmaps into one bloom bitmap.
 
     Bitmap OR is associative+commutative, so each partition builds its
-    local bitmap (vectorized ``bloom_add``) and a ``treeReduce`` ORs them
-    pairwise across executors — the driver receives exactly ONE bitmap, no
-    matter how many partitions or rows (vs collecting hashes, which would
-    make the driver the bottleneck at 10^10 URLs). Used both for
-    rebuilding from the seen table and for per-round increments."""
+    local bitmap (vectorized ``bloom_add``); the partitions are
+    ``coalesce``d to <= 8 fat aggregation partitions (no shuffle), each
+    emits one bitmap row, and the driver ORs the <= 8 collected bitmaps
+    (Arrow ``toArrow``, not pickled rows). The driver never sees per-URL
+    hashes — only O(agg_parts) fixed-size bitmaps — so this stays
+    driver-safe at 10^10 URLs. (An executor-side ``treeAggregate`` would
+    merge down to ONE bitmap before collect; with <= 8 bitmaps of a few
+    MB each, the driver-side OR is the same cost without an extra
+    shuffle stage.) Used both for rebuilding from the seen table and for
+    per-round increments."""
     def to_bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bm = empty_bloom(bits)
         n = 0

@@ -144,13 +144,14 @@ class Crawl:
         revived = requeue.select(*FRONTIER_COLS).withColumn(
             "attempt", F.lit(0).cast("int")
         )
+        # count the requeued rows DIRECTLY (tiny table). Differencing the
+        # new pending snapshot against the previous one is wrong once
+        # expire_snapshots has dropped it (data_files -> [] -> silent 0).
+        n = revived.count()
         merged = _part_by_hash(
             pending.unionByName(revived), self.cfg.frontier_partitions
         ).sortWithinPartitions("url_hash", "attempt", "depth", "seq", "parent")
-        sid = self.cat.overwrite("pending", merged)
-        n = self.cat.rows_delta("pending", sid) - self.cat.row_count(
-            "pending", self.cat.current_snapshot("pending") - 1
-        )
+        self.cat.overwrite("pending", merged)
         self.cat.overwrite("dead", _part_by_hash(keep, 1))
         # fold the requeue into the checkpoint, else a later resume would
         # roll pending/dead back and silently undo it

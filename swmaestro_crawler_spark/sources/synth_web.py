@@ -9,9 +9,11 @@ results are comparable byte-for-byte without a network.
 The page is materialized as a flat PAYLOAD string — span segments joined
 by ``\\x02``, each segment ``kind\\x01text\\x01media_ref`` — generated
 fully vectorized (numpy splitmix64 chains + pandas string kernels, no
-per-row Python). The ENGINE never parses it in Python: span extraction
-is pure Spark codegen (``split``/``transform``/``struct`` —
-operators/spans.py); only the oracle uses the scalar ``parse_payload``.
+per-row Python). The ENGINE never parses it row-at-a-time in Python:
+span extraction runs as pure Arrow C compute kernels inside the fused
+``mapInArrow`` fetch stage (operators/spans.extract_spans_arrow —
+chosen over Spark HOF ``transform``, which is interpreted per element);
+only the oracle uses the scalar ``parse_payload``.
 
 Page shape mirrors what the reference harvests from one watch page:
 stats first (view/like counts yielded before comments,

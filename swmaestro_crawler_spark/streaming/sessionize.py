@@ -47,16 +47,29 @@ def fold_sessions(
     carried = (last_us, start_us, n_events, ord) of the open session, or
     None. Returns (closed sessions as (ord, n, start_us, end_us), new
     carried). Segment boundaries come from ONE vectorized diff; the loop
-    below iterates SESSIONS (a handful per user), not events."""
+    below iterates SESSIONS (a handful per user), not events.
+
+    In-order contract: a batch's timestamps must be >= the carried
+    session's last_us (true for the availableNow single-source reads used
+    here; a production multi-source stream needs a watermark upstream).
+    Late events BEFORE the carried session would otherwise silently merge
+    — guarded below by folding them into the open session with min/max
+    rather than assuming sorted arrival."""
     if len(ts_us) == 0:
         return [], carried
+    if carried is not None and int(ts_us[0]) < carried[1]:
+        # out-of-order batch reaching before the open session's START:
+        # fold conservatively (extend start back) instead of corrupting
+        # the segmentation; end_us can never move backwards.
+        carried = (carried[0], int(ts_us[0]), carried[2], carried[3])
     closed: list[tuple] = []
     brk = np.diff(ts_us) > SESSION_GAP_US
     bounds = np.concatenate([[0], np.flatnonzero(brk) + 1, [len(ts_us)]])
     cur = carried
     for a, b in zip(bounds[:-1], bounds[1:]):
         if cur is not None and int(ts_us[a]) - cur[0] <= SESSION_GAP_US:
-            cur = (int(ts_us[b - 1]), cur[1], cur[2] + int(b - a), cur[3])
+            # max(): an out-of-order batch must never move end_us backwards
+            cur = (max(int(ts_us[b - 1]), cur[0]), cur[1], cur[2] + int(b - a), cur[3])
         else:
             if cur is not None:
                 closed.append((cur[3], cur[2], cur[1], cur[0]))
