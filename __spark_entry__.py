@@ -3,9 +3,10 @@
 ``entry`` runs the flagship crawl pipeline end-to-end on a deterministic
 synthetic web and returns the interleaved span documents. ``queries`` /
 ``oracle_sql`` expose the engine's operator battery (SURVEY.md §2 +
-training-data ops) with DuckDB oracles; pairs marked rows-only in their
-module (SQL=None) are genuinely non-SQL-expressible (binary-UDF
-multimodal stage, float-centroid assignment).
+training-data ops), every entry with an exact DuckDB oracle (a module
+may mark a pair rows-only via SQL=None; as of round 2 none do — the
+binary multimodal stage is checked by an analytic SQL mirror and the
+centroid assignment by fixed-point integer-exact math).
 """
 
 from __future__ import annotations

@@ -73,9 +73,12 @@ def decode_image_meta(blob: bytes) -> tuple[int | None, int | None]:
 
 def media_table(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
     """Synthetic media table derived from the documents ids (stand-in for
-    the crawl's media_ref spans)."""
+    the crawl's media_ref spans). Selection is ``doc_id < n`` — a
+    DETERMINISTIC predicate (an unordered ``limit`` picks
+    partition-arrival-order rows, which would make the oracle comparison
+    flaky)."""
     kinds = ["image", "audio", "video"]
-    docs = load(spark, sf_dir, "documents").select("doc_id").limit(n)
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -114,17 +117,50 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-stub pipeline: synth blobs -> metadata -> per-kind stats.
-    Non-SQL-expressible (binary UDF stage) -> driver rows-only check."""
+    """Decode pipeline: synth blobs -> Arrow-batched binary decode ->
+    per-kind integer stats.
+
+    EXACT DuckDB oracle (SQL_MEDIA_META): every output is an integer and
+    the blob is a pure function of doc_id, so the oracle recomputes the
+    expected width/height/byte-count/checksum ANALYTICALLY in SQL — the
+    comparison verifies the whole binary round-trip (synth header pack ->
+    mapInPandas decode -> aggregation) to the last bit."""
     meta = extract_media_meta(media_table(spark, sf_dir))
     return meta.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.max("width").alias("max_w"),
         F.max("height").alias("max_h"),
         F.sum("n_bytes").alias("total_bytes"),
+        F.sum("checksum").alias("sum_checksum"),
     )
 
 
+# Analytic mirror of synth_blob/decode_image_meta: blob = 4B magic "SYNM"
+# (byte sum 327) + kind[0] + '<HH' w,h (little-endian byte sums) + 64-byte
+# body (doc_id*31+i mod 256). All integers -> bit-exact across engines.
+SQL_MEDIA_META = """
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         16 + (doc_id * 7919) % 1024 AS w,
+         16 + (doc_id * 104729) % 768 AS h,
+         list_sum(list_transform(generate_series(0, 63),
+                                 i -> (doc_id * 31 + i) % 256)) AS body_sum
+  FROM documents WHERE doc_id < 200),
+c AS (
+  SELECT kind, w, h,
+         327
+         + CASE kind WHEN 'image' THEN 105 WHEN 'audio' THEN 97 ELSE 118 END
+         + (w % 256) + (w // 256) + (h % 256) + (h // 256)
+         + body_sum AS checksum
+  FROM m)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(w) AS INT) AS max_w, CAST(max(h) AS INT) AS max_h,
+       CAST(count(*) * 73 AS BIGINT) AS total_bytes,
+       CAST(sum(checksum) AS BIGINT) AS sum_checksum
+FROM c GROUP BY kind
+"""
+
 QUERIES = {
-    "multimodal_media_meta": (q_media_meta, None),
+    "multimodal_media_meta": (q_media_meta, SQL_MEDIA_META),
 }

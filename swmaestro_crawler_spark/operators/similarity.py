@@ -146,28 +146,70 @@ WHERE {SQL_COSINE.format(a='a.v', b='b.v')} >= {NEARDUP_MIN_COS}
 """
 
 
-def q_label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style coarse quantization: nearest label-centroid per vector
-    (integer outputs). Centroids are exact per-dimension means computed in
-    a deterministic two-level avg; assignment is argmin over 10 centroids."""
-    vecs = _vecs(spark, sf_dir)
-    dims = vecs.select(
-        "label", F.posexplode(F.col("v")).alias("dim", "x")
+CENTROID_Q = 1000  # fixed-point quantization scale for exact centroid math
+CENTROID_DIM = 64  # testdata embedding dimensionality
+
+
+def _ldot(a: Column, b: Column) -> Column:
+    """Exact INTEGER dot product (long fold — order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantization: nearest label-centroid per vector,
+    BIT-EXACT across engines (VERDICT r1 task 2).
+
+    Scheme: quantize each component to an integer ``floor(x*Q + 0.5)``
+    (float->double widening and floor are IEEE-identical in Spark and
+    DuckDB); the label centroid is the integer SUM vector c plus count n;
+    squared Euclidean distance to the MEAN centroid scaled by n^2 is the
+    exact integer  n^2*|v|^2 - 2n*<v,c> + |c|^2.  With Q=1000, 64 dims,
+    |x|<=1 and n<=10^4 vectors/label every term is < 2^53, so casting to
+    double is EXACT and the single division by n^2 is correctly rounded —
+    both engines produce identical doubles, making the argmin (tie-broken
+    by label) deterministic. At larger per-label counts, lower Q or lift
+    the terms into DECIMAL(38,0).
+
+    Plan shape: one narrow posexplode->groupBy for the 10×64 centroid
+    table (map-side partial sums), then a BROADCAST cross join — no
+    shuffle of the vector table."""
+    vecs = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * CENTROID_Q + 0.5).cast("long"),
+        ).alias("qv"),
     )
     cents = (
-        dims.groupBy("label", "dim")
+        vecs.select("label", F.posexplode(F.col("qv")).alias("dim", "x"))
+        .groupBy("label", "dim")
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .withColumn("c", F.col("s") / F.col("n"))
         .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
-        .select(F.col("label").alias("clabel"), F.transform("dc", lambda s: s["c"]).alias("cv"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ds"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("ds", lambda s: s["s"]).alias("cv"),
+            "n",
+        )
+    )
+    n2 = F.col("n") * F.col("n")
+    num = (
+        n2 * _ldot(F.col("qv"), F.col("qv"))
+        - F.lit(2) * F.col("n") * _ldot(F.col("qv"), F.col("cv"))
+        + _ldot(F.col("cv"), F.col("cv"))
     )
     scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "clabel",
-        cosine(F.col("v"), F.col("cv")).alias("cos"),
+        "vec_id", "clabel", (num.cast("double") / n2.cast("double")).alias("dist")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("clabel").asc())
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
@@ -175,8 +217,43 @@ def q_label_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_idot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, {CENTROID_DIM}),"
+        f" i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+
+
+SQL_CENTROID_ASSIGN = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {CENTROID_Q}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+d AS (
+  SELECT label, i, sum(qv[i]) AS s, count(*) AS n
+  FROM q CROSS JOIN generate_series(1, {CENTROID_DIM}) AS t(i)
+  GROUP BY label, i),
+c AS (
+  SELECT label AS clabel, list(s ORDER BY i) AS cv, CAST(max(n) AS BIGINT) AS n
+  FROM d GROUP BY label),
+scored AS (
+  SELECT q.vec_id, c.clabel,
+         CAST(c.n*c.n*{_sql_idot('qv', 'qv')}
+              - 2*c.n*{_sql_idot('qv', 'cv')}
+              + {_sql_idot('cv', 'cv')} AS DOUBLE)
+         / CAST(c.n*c.n AS DOUBLE) AS dist
+  FROM q CROSS JOIN c)
+SELECT vec_id, clabel AS nearest_label FROM (
+  SELECT vec_id, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, clabel ASC) AS rnk
+  FROM scored) WHERE rnk = 1
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
-    "embedding_centroid_assign": (q_label_centroid_topk, None),  # float sums: rows-only check
+    "embedding_centroid_assign": (q_label_centroid_assign, SQL_CENTROID_ASSIGN),
 }
