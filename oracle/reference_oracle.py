@@ -123,7 +123,8 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
         admitted.sort(key=_priority_key)
         next_pending: list[Row] = deferred
         for ord_, row in enumerate(admitted):
-            ok = synth_web.fetch_ok(row.url, row.attempt, cfg)
+            code = synth_web.status_code(row.url, row.attempt, cfg)
+            ok = code == 200
             res.crawl_order.append((r, ord_, row.url, row.host, row.depth, ok))
             if ok:
                 page = synth_web.page_for(row.url, cfg)
@@ -133,14 +134,17 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
                 if row.depth < cfg.max_depth:
                     for i, link in enumerate(page["outlinks"]):
                         next_pending.append(make_row(link, row.depth + 1, i, r + 1, 0, row.url))
+            elif code != 500:
+                # fatal class (403/413 analogue): abort immediately, no
+                # retry — New_YouTube_Crawler_Comment.py:50-52
+                res.dead.append((row.url, f"fatal_{code}", r))
+            elif row.attempt + 1 < cfg.max_attempts:
+                next_pending.append(
+                    Row(row.url, row.url_hash, row.host, row.depth, row.seq,
+                        r + 1, row.attempt + 1, row.parent)
+                )
             else:
-                if row.attempt + 1 < cfg.max_attempts:
-                    next_pending.append(
-                        Row(row.url, row.url_hash, row.host, row.depth, row.seq,
-                            r + 1, row.attempt + 1, row.parent)
-                    )
-                else:
-                    res.dead.append((row.url, "max_attempts", r))
+                res.dead.append((row.url, "max_attempts", r))
         pending = next_pending
 
     res.pending_left = pending

@@ -60,12 +60,16 @@ class CrawlConfig:
             raise ValueError("bloom_hashes must be >= 1")
         if not (0.0 <= self.synth_fail_prob < 1.0):
             raise ValueError("synth_fail_prob must be in [0, 1)")
+        if not (0.0 <= self.synth_fatal_prob < 1.0):
+            raise ValueError("synth_fatal_prob must be in [0, 1)")
 
     # synthetic web (sandbox transport; swap for an HTTP fetcher in prod)
     synth_n_hosts: int = 200
     synth_zipf_s: float = 1.2
     synth_seed: int = 42
-    synth_fail_prob: float = 0.02    # deterministic per (url, attempt)
+    synth_fail_prob: float = 0.02    # transient; deterministic per (url, attempt)
+    synth_fatal_prob: float = 0.02   # URL-permanent 403/413 (straight to dead,
+                                     # no retry — C6/P5 fatal classification)
     synth_work_iters: int = 0        # CPU stand-in for real fetch+parse cost
                                      # (see sources/synth_web.parse_work)
 

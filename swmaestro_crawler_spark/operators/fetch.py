@@ -56,13 +56,17 @@ FETCHED = StructType(
     + [
         StructField("fingerprint", IntegerType(), True),
         StructField("ok", BooleanType(), False),
+        StructField("status_code", IntegerType(), False),
         StructField("links", StringType(), True),
         StructField("spans", ArrayType(SPAN, False), False),
         StructField("fetch_round", IntegerType(), False),
     ]
 )
 
-# batch transport: whole sorted partition -> (ok mask, payload, links)
+# batch transport: whole sorted partition -> (status codes, payload, links).
+# status: 200 ok; 403/413 fatal (straight to dead, reference
+# New_YouTube_Crawler_Comment.py:50-52 aborts with no retry); 500 transient
+# (bounded retry).
 BatchTransport = Callable[[pd.DataFrame], tuple["pd.Series", "pd.Series", "pd.Series"]]
 
 
@@ -71,7 +75,8 @@ def synth_transport(cfg: CrawlConfig) -> BatchTransport:
 
     def fetch(pdf: pd.DataFrame) -> tuple[pd.Series, pd.Series, pd.Series]:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        ok = synth_web.fetch_ok_np(hashes, pdf["attempt"].to_numpy(dtype=np.int64), cfg)
+        code = synth_web.status_code_np(hashes, pdf["attempt"].to_numpy(dtype=np.int64), cfg)
+        ok = code == 200
         payload = pd.Series([""] * len(pdf), dtype=object)
         links = pd.Series([""] * len(pdf), dtype=object)
         if ok.any():
@@ -84,7 +89,7 @@ def synth_transport(cfg: CrawlConfig) -> BatchTransport:
             payload[ok] = pl.to_numpy(dtype=object)
             links[ok] = lk.to_numpy(dtype=object)
             synth_web.parse_work(hashes[ok], cfg.synth_work_iters)
-        return pd.Series(ok), payload, links
+        return pd.Series(code), payload, links
 
     return fetch
 
@@ -103,17 +108,19 @@ def fetch_stage(admitted: DataFrame, cfg: CrawlConfig, round_no: int,
             pdf = pdf.sort_values(
                 ["host", "depth", "seq", "url_hash"], ascending=[True, False, True, True]
             ).reset_index(drop=True)
-            ok, payload, links = transport(pdf)
+            code, payload, links = transport(pdf)
             spans = extract_spans_arrow(pa.array(payload, type=pa.string()))
             arrays = [pa.Array.from_pandas(pdf[c]) for c in flat_cols]
             arrays += [
-                pa.Array.from_pandas(ok, type=pa.bool_()),
+                pa.Array.from_pandas(code == 200, type=pa.bool_()),
+                pa.Array.from_pandas(code, type=pa.int32()),
                 pa.array(links, type=pa.string()),
                 spans,
                 pa.array([round_no] * len(pdf), type=pa.int32()),
             ]
             yield pa.RecordBatch.from_arrays(
-                arrays, names=flat_cols + ["ok", "links", "spans", "fetch_round"]
+                arrays,
+                names=flat_cols + ["ok", "status_code", "links", "spans", "fetch_round"],
             )
 
     sub_bucket = F.xxhash64(

@@ -231,9 +231,17 @@ def run_round(
     )
 
     # 9. retries + dead letters (at-least-once semantics; reference nack ->
-    #    dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46)
+    #    dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46).
+    #    Failure CLASSIFICATION (C6/P5): fatal codes — the 403/413 analogue
+    #    the reference aborts on with NO retry
+    #    (New_YouTube_Crawler_Comment.py:50-52) and the permanent
+    #    private/blocked page dispositions (view_count_crawler.py:51-70) —
+    #    go straight to dead with reason 'fatal_<code>' at their current
+    #    attempt; only transient failures (500) enter the bounded-retry
+    #    path.
     tm.step("dead_prep")
-    retry_base = failed.withColumn("attempt", F.col("attempt") + 1).withColumn(
+    transient = failed.filter(F.col("status_code") == 500)
+    retry_base = transient.withColumn("attempt", F.col("attempt") + 1).withColumn(
         "round", F.lit(r + 1).cast("int")
     )
     retries = retry_base.filter(F.col("attempt") < cfg.max_attempts).select(*FRONTIER_COLS)
@@ -243,6 +251,12 @@ def run_round(
         .withColumn("reason", F.lit("max_attempts"))
         .withColumn("dead_round", F.lit(r).cast("int"))
     )
+    dead_fatal = (
+        failed.filter(F.col("status_code") != 500)
+        .withColumn("reason", F.concat(F.lit("fatal_"), F.col("status_code").cast("string")))
+        .select(*FRONTIER_COLS, "reason")
+        .withColumn("dead_round", F.lit(r).cast("int"))
+    )
     dead_robots = (
         excluded.select(*FRONTIER_COLS)
         .withColumn("reason", F.lit("robots"))
@@ -250,7 +264,9 @@ def run_round(
     )
     tm.step("dead_write")
     sid_dead = cat.append(
-        "dead", _part_by_hash(dead_robots.unionByName(dead_fetch), 1), meta={"round": r}
+        "dead",
+        _part_by_hash(dead_robots.unionByName(dead_fetch).unionByName(dead_fatal), 1),
+        meta={"round": r},
     )
 
     # 10. frontier expansion: outlinks -> next round's pending rows

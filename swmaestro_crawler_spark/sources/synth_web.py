@@ -111,15 +111,42 @@ def _hexcol(x: np.ndarray, width: int) -> pd.Series:
     return pd.Series(np.char.mod(f"%0{width}x", x))
 
 
-def fetch_ok_np(url_hash, attempt, cfg: CrawlConfig) -> np.ndarray:
-    """Deterministic transient failure — per (url_hash, attempt), so a
-    retry can re-roll (reference retry loop,
+FATAL_CODES = (403, 413)  # reference: ajax_request returns {} immediately
+                          # (no retry) on these, New_YouTube_Crawler_Comment.py:50-52
+
+
+def fatal_code_np(url_hash, cfg: CrawlConfig) -> np.ndarray:
+    """0 = not fatal, else the fatal HTTP code (403 or 413).
+
+    Derived from the URL alone — a private/blocked page stays blocked on
+    every attempt (the reference marks such videos status=FALSE
+    permanently, view_count_crawler.py:51-63) — so fatal URLs fail
+    identically at any attempt and retrying would be pointless, which is
+    exactly why the engine routes them straight to dead letters."""
+    h = _uh(url_hash)
+    is_fatal = _u01(_mix(h, 0xFA7A)) < cfg.synth_fatal_prob
+    pick = (_mix(h, 0xFA7B) & np.uint64(1)).astype(bool)
+    return np.where(is_fatal, np.where(pick, FATAL_CODES[0], FATAL_CODES[1]), 0).astype(
+        np.int64
+    )
+
+
+def status_code_np(url_hash, attempt, cfg: CrawlConfig) -> np.ndarray:
+    """Deterministic HTTP-ish status per fetch: 200 ok, 403/413 fatal
+    (URL-permanent), 500 transient — per (url_hash, attempt), so a retry
+    of a transient failure can re-roll (reference retry loop,
     New_YouTube_Crawler_Comment.py:45-53)."""
     with np.errstate(over="ignore"):
         h = _uh(url_hash) + np.asarray(attempt, dtype=np.int64).view(np.uint64) * np.uint64(
             0xC2B2AE3D27D4EB4F
         )
-    return _u01(_mix(h, 0xFE7C)) >= cfg.synth_fail_prob
+    transient_ok = _u01(_mix(h, 0xFE7C)) >= cfg.synth_fail_prob
+    fatal = fatal_code_np(url_hash, cfg)
+    return np.where(fatal > 0, fatal, np.where(transient_ok, 200, 500)).astype(np.int64)
+
+
+def fetch_ok_np(url_hash, attempt, cfg: CrawlConfig) -> np.ndarray:
+    return status_code_np(url_hash, attempt, cfg) == 200
 
 
 def parse_work(url_hash, iters: int) -> int:
@@ -291,14 +318,18 @@ def page_for(url: str, cfg: CrawlConfig) -> dict:
     return parse_payload(payload.iloc[0])
 
 
-def fetch_ok(url: str, attempt: int, cfg: CrawlConfig) -> bool:
-    return bool(
-        fetch_ok_np(
+def status_code(url: str, attempt: int, cfg: CrawlConfig) -> int:
+    return int(
+        status_code_np(
             np.array([xxhash64_str(url)], dtype=np.int64),
             np.array([attempt], dtype=np.int64),
             cfg,
         )[0]
     )
+
+
+def fetch_ok(url: str, attempt: int, cfg: CrawlConfig) -> bool:
+    return status_code(url, attempt, cfg) == 200
 
 
 def _pick_host(rng: np.random.Generator, cfg: CrawlConfig) -> str:
