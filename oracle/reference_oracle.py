@@ -67,6 +67,10 @@ def _path_of(url: str) -> str:
     return rest[slash:] if slash >= 0 else ""
 
 
+def _is_playlist(url: str) -> bool:
+    return _path_of(url).startswith("/pl/")
+
+
 def make_row(url: str, depth: int, seq: int, rnd: int, attempt: int, parent: str | None) -> Row:
     cu = canonicalize_one(url)
     host = cu.split("://", 1)[1].split("/", 1)[0]
@@ -122,6 +126,10 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
         # 5. fetch in global priority order (the crawl-order invariant)
         admitted.sort(key=_priority_key)
         next_pending: list[Row] = deferred
+        # O5 cutoff checks membership against the seen set AS OF ROUND
+        # START (the engine's batch semantics) — snapshot before this
+        # round's inserts mutate res.seen
+        seen_start = set(res.seen)
         for ord_, row in enumerate(admitted):
             code = synth_web.status_code(row.url, row.attempt, cfg)
             ok = code == 200
@@ -131,8 +139,21 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
                 res.docs[row.url] = page["spans"]
                 res.seen.add(row.url_hash)
                 res.fingerprints[row.url_hash] = murmur3_32_str(row.url)
+                # O5 pagination cutoff: a playlist page with an
+                # already-seen video item does not enqueue its /pl/
+                # next-page continuation (New_YouTube_Crawler.py:263-273)
+                drop_cont = False
+                if cfg.playlist_cutoff and _is_playlist(row.url):
+                    for link in page["outlinks"]:
+                        cu = canonicalize_one(link)
+                        if not _is_playlist(cu) and xxhash64_str(cu) in seen_start:
+                            drop_cont = True
+                            break
                 if row.depth < cfg.max_depth:
                     for i, link in enumerate(page["outlinks"]):
+                        if drop_cont and _is_playlist(canonicalize_one(link)):
+                            continue  # seq keeps the pre-drop index (engine
+                            # assigns seq at posexplode, before the cutoff)
                         next_pending.append(make_row(link, row.depth + 1, i, r + 1, 0, row.url))
             elif code != 500:
                 # fatal class (403/413 analogue): abort immediately, no

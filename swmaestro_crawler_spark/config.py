@@ -70,6 +70,15 @@ class CrawlConfig:
     synth_fail_prob: float = 0.02    # transient; deterministic per (url, attempt)
     synth_fatal_prob: float = 0.02   # URL-permanent 403/413 (straight to dead,
                                      # no retry — C6/P5 fatal classification)
+    synth_watch_pool: int = 1 << 48  # id space for watch-page link targets;
+                                     # small values make videos shared across
+                                     # playlists (exercises the O5 cutoff)
+
+    # O5/V4: drop a playlist page's next-page continuation when any of its
+    # video items is already seen as of round start (the reference kills the
+    # whole pagination chain on the first seen video,
+    # New_YouTube_Crawler.py:263-273 keep_going=False)
+    playlist_cutoff: bool = True
     synth_work_iters: int = 0        # CPU stand-in for real fetch+parse cost
                                      # (see sources/synth_web.parse_work)
 

@@ -269,9 +269,20 @@ def run_round(
         meta={"round": r},
     )
 
-    # 10. frontier expansion: outlinks -> next round's pending rows
+    # 10. frontier expansion: outlinks -> next round's pending rows.
+    #     O5/V4 pagination cutoff: the reference kills a playlist's whole
+    #     pagination chain on the first already-seen video
+    #     (New_YouTube_Crawler.py:263-273, keep_going=False). Batch
+    #     adaptation: a playlist page whose video items include a URL seen
+    #     AS OF ROUND START does not enqueue its next-page continuation.
+    #     Membership reuses the two-tier structure: round-start bloom probe
+    #     (bitmap_bc) filters to the maybe-seen slice, an exact SEMI join
+    #     against the round-start seen table confirms — no seen-set shuffle
+    #     for the overwhelmingly-unseen case. ``seen`` was bound to the
+    #     round-start snapshot at step 1 (catalog.read resolves files
+    #     eagerly), so this round's own step-8 append is invisible here.
     tm.step("new_links_def")
-    new_links = (
+    links_exploded = (
         ok.filter(F.col("depth") < cfg.max_depth)
         .select(
             F.col("url").alias("parent"),
@@ -282,16 +293,34 @@ def run_round(
             ).alias("seq", "url"),
         )
         .transform(with_canonical)
-        .select(
-            "url",
-            "url_hash",
-            "host",
-            (F.col("parent_depth") + 1).cast("int").alias("depth"),
-            F.col("seq").cast("long").alias("seq"),
-            F.lit(r + 1).cast("int").alias("round"),
-            F.lit(0).cast("int").alias("attempt"),
-            "parent",
+    )
+    if cfg.playlist_cutoff:
+        from ..operators.seen import bloom_probe
+
+        is_pl_parent = F.col("parent").rlike("://[^/]*/pl/")
+        is_pl_child = F.col("url").rlike("://[^/]*/pl/")
+        watch_children = links_exploded.filter(is_pl_parent & ~is_pl_child).select(
+            "parent", "url_hash"
         )
+        cut_parents = (
+            bloom_probe(watch_children, bitmap_bc, cfg.bloom_hashes)
+            .filter(F.col("maybe_seen"))
+            .join(seen.select("url_hash"), "url_hash", "left_semi")
+            .select("parent")
+            .distinct()
+        )
+        cont = links_exploded.filter(is_pl_parent & is_pl_child)
+        rest = links_exploded.filter(~(is_pl_parent & is_pl_child))
+        links_exploded = rest.unionByName(cont.join(cut_parents, "parent", "left_anti"))
+    new_links = links_exploded.select(
+        "url",
+        "url_hash",
+        "host",
+        (F.col("parent_depth") + 1).cast("int").alias("depth"),
+        F.col("seq").cast("long").alias("seq"),
+        F.lit(r + 1).cast("int").alias("round"),
+        F.lit(0).cast("int").alias("attempt"),
+        "parent",
     )
 
     next_pending = (

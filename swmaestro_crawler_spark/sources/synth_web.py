@@ -267,9 +267,16 @@ def payload_series(
         # continuation (/pl/); watches link to watches
         is_next_page = is_pl & (j == (n_link - 1)) & (_u01(_mix(h, 9)) < 0.5)
         prefix = pd.Series(np.where(is_ch, "/pl/", np.where(is_next_page, "/pl/", "/w/")))
+        # watch targets draw from a (possibly small) per-host id POOL so the
+        # same video appears in many playlists/pages — the sharing that makes
+        # the reference's stop-on-seen pagination cutoff meaningful;
+        # playlist targets stay in the wide space (chains are unique)
+        tgt_space = np.where(
+            is_ch | is_next_page, np.uint64(1 << 48), np.uint64(cfg.synth_watch_pool)
+        )
         target = (
             "http://" + tgt_host + prefix
-            + _hexcol(_mix(h, 70 + j) % np.uint64(1 << 48), 12)
+            + _hexcol(_mix(h, 70 + j) % tgt_space, 12)
         )
         target = target.where(j < n_link, "")
         link_targets.append(target)
