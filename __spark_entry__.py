@@ -54,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _all_modules():
+    from swmaestro_crawler_spark.functions import html_extract
     from swmaestro_crawler_spark.operators import (
         dedup,
         multimodal,
@@ -69,6 +70,7 @@ def _all_modules():
         text_analysis,
         similarity,
         multimodal,
+        html_extract,
         stream_metrics,
         sessionize,
     )
