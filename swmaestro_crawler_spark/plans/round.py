@@ -92,12 +92,15 @@ def with_global_ord(df: DataFrame, sort_cols, n_parts: int, out_col: str = "ord"
 
 
 class _StepTimer:
-    """Per-step wall timing, printed when SWM_PROFILE=1 (diagnostic)."""
+    """Per-step wall timing: always RECORDED into ``times`` (the scaling
+    bench reports per-stage efficiencies from it), printed when
+    SWM_PROFILE=1."""
 
     def __init__(self) -> None:
         import os
 
         self.on = os.environ.get("SWM_PROFILE") == "1"
+        self.times: dict[str, float] = {}
         self._t = None
         self._name = None
 
@@ -105,8 +108,10 @@ class _StepTimer:
         import time
 
         now = time.perf_counter()
-        if self.on and self._name is not None:
-            print(f"    [round-step] {self._name}: {now - self._t:.2f}s", flush=True)
+        if self._name is not None:
+            self.times[self._name] = self.times.get(self._name, 0.0) + (now - self._t)
+            if self.on:
+                print(f"    [round-step] {self._name}: {now - self._t:.2f}s", flush=True)
         self._t, self._name = now, name
 
     def done(self) -> None:
@@ -123,6 +128,7 @@ class RoundResult:
     new_links: int
     excluded: int
     pending_next: int
+    timings: dict | None = None  # per-stage wall seconds (_StepTimer)
 
 
 def run_round(
@@ -192,161 +198,203 @@ def run_round(
         row_filter="ok",
     )
 
-    # 7. crawl-order log — the judge-replayable total order. ord is the
-    #    dense rank over the PRIORITY key within the round, computed by the
-    #    scalable range-sort + prefix-offset rank (no single-reducer
-    #    window); partition ids follow key order, so the written files are
-    #    globally ord-sorted. Reads only the flat key columns (column
-    #    pruning hits the scratch parquet).
-    tm.step("rank")
-    ranked, ranked_handle = with_global_ord(
-        fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
-        priority_order(),
-        cfg.frontier_partitions,
-    )
-    order_rows = ranked.select(
-        F.lit(r).cast("int").alias("round"),
-        F.col("ord"),
-        "url",
-        "host",
-        "depth",
-        "ok",
-    )
-    tm.step("crawl_order_write")
-    sid_order = cat.append("crawl_order", order_rows, meta={"round": r})
-    ranked_handle.unpersist()
+    # 7-11. BOOKKEEPING — independent Spark jobs run CONCURRENTLY from
+    #    driver threads (VERDICT r1 task 1: these commits measured 0.40
+    #    stage-scaling when run serially — each small job pays a fixed
+    #    driver/scheduling latency that does not shrink with cores, so
+    #    serial bookkeeping caps N->4N efficiency; overlapped, the fixed
+    #    latencies coincide instead of adding). Every job reads only the
+    #    committed fetch scratch or round-start state and writes its OWN
+    #    table (separate manifest files -> commit isolation), so
+    #    concurrency cannot change any output byte: each write keeps its
+    #    deterministic repartition+sortWithinPartitions layout, and the
+    #    checkpoint is taken only after all futures join.
+    def job_order() -> int:
+        # crawl-order log — the judge-replayable total order. ord is the
+        # dense rank over the PRIORITY key within the round, computed by
+        # the scalable range-sort + prefix-offset rank (no single-reducer
+        # window); partition ids follow key order, so the written files
+        # are globally ord-sorted. Reads only the flat key columns
+        # (column pruning hits the scratch parquet).
+        ranked, ranked_handle = with_global_ord(
+            fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
+            priority_order(),
+            cfg.frontier_partitions,
+        )
+        order_rows = ranked.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("ord"),
+            "url",
+            "host",
+            "depth",
+            "ok",
+        )
+        sid = cat.append("crawl_order", order_rows, meta={"round": r})
+        ranked_handle.unpersist()
+        return sid
 
-    # 8. seen tier update (exact table + bloom bitmap). The bloom increment
-    #    aggregates per-partition bitmaps over a url_hash-only scan — the
-    #    driver never sees individual hashes.
-    tm.step("seen_write")
-    sid_seen = cat.append(
-        "seen",
-        _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
-        meta={"round": r},
-    )
-    tm.step("bloom_agg")
-    bloom |= build_bloom_distributed(
-        ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
-    )
+    def job_seen() -> int:
+        # seen tier exact-table update; one row per fetched-ok URL, so
+        # this commit's rows_delta IS ok_n (no separate count job)
+        return cat.append(
+            "seen",
+            _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
+            meta={"round": r},
+        )
 
-    # 9. retries + dead letters (at-least-once semantics; reference nack ->
-    #    dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46).
-    #    Failure CLASSIFICATION (C6/P5): fatal codes — the 403/413 analogue
-    #    the reference aborts on with NO retry
-    #    (New_YouTube_Crawler_Comment.py:50-52) and the permanent
-    #    private/blocked page dispositions (view_count_crawler.py:51-70) —
-    #    go straight to dead with reason 'fatal_<code>' at their current
-    #    attempt; only transient failures (500) enter the bounded-retry
-    #    path.
-    tm.step("dead_prep")
+    def job_bloom() -> np.ndarray:
+        # bloom increment: per-partition bitmaps over a url_hash-only
+        # scan — the driver never sees individual hashes
+        return build_bloom_distributed(
+            ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
+        )
+
+    # retries + dead letters (at-least-once semantics; reference nack ->
+    # dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46).
+    # Failure CLASSIFICATION (C6/P5): fatal codes — the 403/413 analogue
+    # the reference aborts on with NO retry
+    # (New_YouTube_Crawler_Comment.py:50-52) and the permanent
+    # private/blocked page dispositions (view_count_crawler.py:51-70) —
+    # go straight to dead with reason 'fatal_<code>' at their current
+    # attempt; only transient failures (500) enter the bounded-retry path.
     transient = failed.filter(F.col("status_code") == 500)
     retry_base = transient.withColumn("attempt", F.col("attempt") + 1).withColumn(
         "round", F.lit(r + 1).cast("int")
     )
     retries = retry_base.filter(F.col("attempt") < cfg.max_attempts).select(*FRONTIER_COLS)
-    dead_fetch = (
-        retry_base.filter(F.col("attempt") >= cfg.max_attempts)
-        .select(*FRONTIER_COLS)
-        .withColumn("reason", F.lit("max_attempts"))
-        .withColumn("dead_round", F.lit(r).cast("int"))
-    )
-    dead_fatal = (
-        failed.filter(F.col("status_code") != 500)
-        .withColumn("reason", F.concat(F.lit("fatal_"), F.col("status_code").cast("string")))
-        .select(*FRONTIER_COLS, "reason")
-        .withColumn("dead_round", F.lit(r).cast("int"))
-    )
-    dead_robots = (
-        excluded.select(*FRONTIER_COLS)
-        .withColumn("reason", F.lit("robots"))
-        .withColumn("dead_round", F.lit(r).cast("int"))
-    )
-    tm.step("dead_write")
-    sid_dead = cat.append(
-        "dead",
-        _part_by_hash(dead_robots.unionByName(dead_fetch).unionByName(dead_fatal), 1),
-        meta={"round": r},
-    )
 
-    # 10. frontier expansion: outlinks -> next round's pending rows.
-    #     O5/V4 pagination cutoff: the reference kills a playlist's whole
-    #     pagination chain on the first already-seen video
-    #     (New_YouTube_Crawler.py:263-273, keep_going=False). Batch
-    #     adaptation: a playlist page whose video items include a URL seen
-    #     AS OF ROUND START does not enqueue its next-page continuation.
-    #     Membership reuses the two-tier structure: round-start bloom probe
-    #     (bitmap_bc) filters to the maybe-seen slice, an exact SEMI join
-    #     against the round-start seen table confirms — no seen-set shuffle
-    #     for the overwhelmingly-unseen case. ``seen`` was bound to the
-    #     round-start snapshot at step 1 (catalog.read resolves files
-    #     eagerly), so this round's own step-8 append is invisible here.
-    tm.step("new_links_def")
-    links_exploded = (
-        ok.filter(F.col("depth") < cfg.max_depth)
-        .select(
-            F.col("url").alias("parent"),
-            F.col("depth").alias("parent_depth"),
-            F.posexplode(
-                F.when(F.col("links") == "", F.array().cast("array<string>"))
-                .otherwise(F.split(F.col("links"), SPANSEP_LIT))
-            ).alias("seq", "url"),
+    def job_dead() -> int:
+        dead_fetch = (
+            retry_base.filter(F.col("attempt") >= cfg.max_attempts)
+            .select(*FRONTIER_COLS)
+            .withColumn("reason", F.lit("max_attempts"))
+            .withColumn("dead_round", F.lit(r).cast("int"))
         )
-        .transform(with_canonical)
-    )
-    if cfg.playlist_cutoff:
-        from ..operators.seen import bloom_probe
-
-        is_pl_parent = F.col("parent").rlike("://[^/]*/pl/")
-        is_pl_child = F.col("url").rlike("://[^/]*/pl/")
-        watch_children = links_exploded.filter(is_pl_parent & ~is_pl_child).select(
-            "parent", "url_hash"
+        dead_fatal = (
+            failed.filter(F.col("status_code") != 500)
+            .withColumn(
+                "reason", F.concat(F.lit("fatal_"), F.col("status_code").cast("string"))
+            )
+            .select(*FRONTIER_COLS, "reason")
+            .withColumn("dead_round", F.lit(r).cast("int"))
         )
-        cut_parents = (
-            bloom_probe(watch_children, bitmap_bc, cfg.bloom_hashes)
-            .filter(F.col("maybe_seen"))
-            .join(seen.select("url_hash"), "url_hash", "left_semi")
-            .select("parent")
-            .distinct()
+        dead_robots = (
+            excluded.select(*FRONTIER_COLS)
+            .withColumn("reason", F.lit("robots"))
+            .withColumn("dead_round", F.lit(r).cast("int"))
         )
-        cont = links_exploded.filter(is_pl_parent & is_pl_child)
-        rest = links_exploded.filter(~(is_pl_parent & is_pl_child))
-        links_exploded = rest.unionByName(cont.join(cut_parents, "parent", "left_anti"))
-    new_links = links_exploded.select(
-        "url",
-        "url_hash",
-        "host",
-        (F.col("parent_depth") + 1).cast("int").alias("depth"),
-        F.col("seq").cast("long").alias("seq"),
-        F.lit(r + 1).cast("int").alias("round"),
-        F.lit(0).cast("int").alias("attempt"),
-        "parent",
-    )
+        return cat.append(
+            "dead",
+            _part_by_hash(dead_robots.unionByName(dead_fetch).unionByName(dead_fatal), 1),
+            meta={"round": r},
+        )
 
-    next_pending = (
-        deferred_df.select(*FRONTIER_COLS)
-        .unionByName(retries)
-        .unionByName(new_links)
-    )
-    tm.step("pending_layout")
-    pending_sorted = _part_by_hash(next_pending, cfg.frontier_partitions).sortWithinPartitions(
-        "url_hash", "attempt", "depth", "seq", "parent"
-    )
-    sid_pending = cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
+    def job_pending() -> int:
+        # frontier expansion: outlinks -> next round's pending rows.
+        # O5/V4 pagination cutoff: the reference kills a playlist's whole
+        # pagination chain on the first already-seen video
+        # (New_YouTube_Crawler.py:263-273, keep_going=False). Batch
+        # adaptation: a playlist page whose video items include a URL
+        # seen AS OF ROUND START does not enqueue its next-page
+        # continuation. Membership reuses the two-tier structure:
+        # round-start bloom probe (bitmap_bc) filters to the maybe-seen
+        # slice, an exact SEMI join against the round-start seen table
+        # confirms — no seen-set shuffle for the overwhelmingly-unseen
+        # case. ``seen`` was bound to the round-start snapshot at step 1
+        # (catalog.read resolves files eagerly), so the concurrent
+        # job_seen append is invisible here by construction.
+        links_exploded = (
+            ok.filter(F.col("depth") < cfg.max_depth)
+            .select(
+                F.col("url").alias("parent"),
+                F.col("depth").alias("parent_depth"),
+                F.posexplode(
+                    F.when(F.col("links") == "", F.array().cast("array<string>"))
+                    .otherwise(F.split(F.col("links"), SPANSEP_LIT))
+                ).alias("seq", "url"),
+            )
+            .transform(with_canonical)
+        )
+        if cfg.playlist_cutoff:
+            from ..operators.seen import bloom_probe
 
-    # 11. metrics + per-partition lineage. Every count is DERIVED — from
-    #    parquet footer stats recorded at commit time (rows_delta) plus two
-    #    O(1) counts on cached intermediates — so the metrics step runs no
-    #    Spark job over round data and writes via a direct pyarrow commit.
+            is_pl_parent = F.col("parent").rlike("://[^/]*/pl/")
+            is_pl_child = F.col("url").rlike("://[^/]*/pl/")
+            watch_children = links_exploded.filter(is_pl_parent & ~is_pl_child).select(
+                "parent", "url_hash"
+            )
+            cut_parents = (
+                bloom_probe(watch_children, bitmap_bc, cfg.bloom_hashes)
+                .filter(F.col("maybe_seen"))
+                .join(seen.select("url_hash"), "url_hash", "left_semi")
+                .select("parent")
+                .distinct()
+            )
+            cont = links_exploded.filter(is_pl_parent & is_pl_child)
+            rest = links_exploded.filter(~(is_pl_parent & is_pl_child))
+            kept_cont = cont.join(cut_parents, "parent", "left_anti")
+            links = rest.unionByName(kept_cont)
+        else:
+            links = links_exploded
+        new_links = links.select(
+            "url",
+            "url_hash",
+            "host",
+            (F.col("parent_depth") + 1).cast("int").alias("depth"),
+            F.col("seq").cast("long").alias("seq"),
+            F.lit(r + 1).cast("int").alias("round"),
+            F.lit(0).cast("int").alias("attempt"),
+            "parent",
+        )
+        next_pending = (
+            deferred_df.select(*FRONTIER_COLS)
+            .unionByName(retries)
+            .unionByName(new_links)
+        )
+        pending_sorted = _part_by_hash(
+            next_pending, cfg.frontier_partitions
+        ).sortWithinPartitions("url_hash", "attempt", "depth", "seq", "parent")
+        return cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
+
+    def job_counts() -> tuple[int, int]:
+        # two O(1) counts on cached intermediates (robots_joined/unseen)
+        return excluded.count(), unseen.count()
+
+    tm.step("bookkeeping_parallel")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=6, thread_name_prefix=f"bk-r{r}") as ex:
+        futs = {
+            name: ex.submit(fn)
+            for name, fn in (
+                ("order", job_order),
+                ("seen", job_seen),
+                ("bloom", job_bloom),
+                ("dead", job_dead),
+                ("pending", job_pending),
+                ("counts", job_counts),
+            )
+        }
+        sid_order = futs["order"].result()
+        sid_seen = futs["seen"].result()
+        sid_dead = futs["dead"].result()
+        sid_pending = futs["pending"].result()
+        excluded_n, unseen_n = futs["counts"].result()
+        bloom |= futs["bloom"].result()
+
+    # metrics + per-partition lineage. Every count is DERIVED — from
+    # parquet footer stats recorded at commit time (rows_delta: the seen
+    # commit is 1:1 with fetched-ok rows, so ok_n needs no job) plus the
+    # two cached counts above — the metrics step runs no further Spark
+    # job over round data and writes via a direct pyarrow commit.
     tm.step("metrics_counts")
     admitted_n = cat.rows_delta("fetched", sid_fetch)
-    ok_n = ok.count()  # pruned boolean-column scan of the scratch parquet
+    ok_n = cat.rows_delta("seen", sid_seen)
     failed_n = admitted_n - ok_n
-    excluded_n = excluded.count()                    # cached robots_joined parent
     dead_fetch_n = cat.rows_delta("dead", sid_dead) - excluded_n
     retries_n = failed_n - dead_fetch_n
     pending_next_n = cat.rows_delta("pending", sid_pending)
-    deferred_n = unseen.count() - admitted_n         # unseen = admitted + deferred
+    deferred_n = unseen_n - admitted_n               # unseen = admitted + deferred
     counts = {
         "admitted": admitted_n,
         "fetched_ok": ok_n,
@@ -391,4 +439,5 @@ def run_round(
         new_links=counts["new_links"],
         excluded=counts["excluded"],
         pending_next=counts["pending_next"],
+        timings=dict(tm.times),
     )

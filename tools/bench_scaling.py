@@ -120,6 +120,7 @@ def worker(cores: int) -> None:
     wall = time.perf_counter() - t0
 
     r = results[0]
+    stages = {k: round(v, 3) for k, v in (r.timings or {}).items()}
     processed = r.admitted + r.excluded + r.deferred
     order_dig = (
         crawl.cat.read("crawl_order", CRAWL_ORDER)
@@ -145,6 +146,7 @@ def worker(cores: int) -> None:
                 "processed": processed,
                 "urls_per_sec": round(processed / wall, 1),
                 "urls_per_sec_per_core": round(processed / wall / cores, 1),
+                "stages": stages,
                 "crawl_order_digest": [str(order_dig.h), int(order_dig.n)],
                 "seen_digest": [str(seen_dig.h), int(seen_dig.n)],
             }
@@ -217,6 +219,18 @@ def main() -> None:
         results[c]["seen_digest"] == results[LEVELS[0]]["seen_digest"] for c in LEVELS
     )
     primary = effs.get(f"{LEVELS[0]}->{LEVELS[0]*4}")
+    # per-stage decomposition of the primary pair: stage efficiency
+    # (T_N / T_4N) / 4 from the best run's recorded stage walls. The
+    # per-round FIXED driver latency (job scheduling, manifest commits)
+    # is constant in cores AND in frontier size — it amortizes with round
+    # size, so it is reported separately rather than hidden.
+    stage_effs = {}
+    a, b = LEVELS[0], LEVELS[0] * 4
+    if a in results and b in results:
+        sa, sb = results[a].get("stages", {}), results[b].get("stages", {})
+        for k in sa:
+            if k in sb and sb[k] > 0.05:
+                stage_effs[k] = round((sa[k] / sb[k]) / (b / a), 3)
     summary = {
         "n_urls": N_URLS,
         "work_iters": WORK_ITERS,
@@ -225,6 +239,7 @@ def main() -> None:
         "levels": {str(k): v for k, v in results.items()},
         "scaling_efficiency": primary,
         "efficiencies": effs,
+        "stage_efficiencies": stage_effs,
         "crawl_order_match": order_match,
         "seen_match": seen_match,
         "passes": bool(primary is not None and primary >= 0.8 and order_match and seen_match),
@@ -237,6 +252,13 @@ def main() -> None:
         f"| local[{c}] | {results[c]['wall_s']} | {results[c]['processed']:,} "
         f"| {results[c]['urls_per_sec']:,} | {results[c]['urls_per_sec_per_core']:,} |"
         for c in LEVELS
+    )
+    sa = results.get(LEVELS[0], {}).get("stages", {})
+    sb = results.get(LEVELS[0] * 4, {}).get("stages", {})
+    stage_rows = "\n".join(
+        f"| {k} | {sa[k]} | {sb.get(k, '—')} | {stage_effs.get(k, '—')} |"
+        for k in sa
+        if sa[k] >= 0.05
     )
     eff_rows = "\n".join(
         f"- **{k} cores: efficiency {v:.3f}** ({'PASS' if v >= 0.8 else 'below 0.8'})"
@@ -282,6 +304,16 @@ Measurement conditions (all disclosed, identical at every level):
 Scaling efficiency (throughput_4N / throughput_N) / 4:
 
 {eff_rows}
+
+Per-stage decomposition of the primary {LEVELS[0]}→{LEVELS[0] * 4} pair
+(best run per level; stage walls recorded by the engine's step timer;
+bookkeeping = rank + crawl_order/seen/dead/pending commits + bloom agg,
+all run as CONCURRENT Spark jobs so their fixed driver latencies
+overlap instead of adding):
+
+| stage | local[{LEVELS[0]}] s | local[{LEVELS[0] * 4}] s | efficiency |
+|---|---|---|---|
+{stage_rows}
 
 The 8→32 pair under-reports the engine's scalability on this host: the
 VM's MEASURED aggregate memory bandwidth does not grow with concurrency
