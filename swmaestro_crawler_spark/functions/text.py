@@ -43,6 +43,23 @@ def bpe_token_count(c: Column) -> Column:
 SQL_BPE_COUNT = f"len(regexp_extract_all(lower({{c}}), '{BPE_RE}'))"
 
 # ---------------------------------------------------------------------------
+# F2/F1 sanitize: NUL strip + quote doubling — the reference's
+# pre_process_comment (New_YouTube_Crawler_Comment.py:350-355: bytearray
+# replace of b"\\x00", lossy re-decode, re.sub("'", "''")) as one codegen
+# expression. The engine WRITES parameterized (no SQL strings), so the
+# quote-doubling is a compatibility kernel for exporting to engines that
+# still splice strings; the NUL strip is required regardless (parquet and
+# Postgres both reject embedded NULs in text).
+# ---------------------------------------------------------------------------
+
+
+def sanitize_text(c: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(c, "\x00", ""), "'", "''")
+
+
+SQL_SANITIZE_TEXT = "replace(replace({c}, chr(0), ''), '''', '''''')"
+
+# ---------------------------------------------------------------------------
 # cross-engine 32-bit word hash (md5 prefix)
 # ---------------------------------------------------------------------------
 

@@ -422,6 +422,45 @@ FROM (
 WHERE o <= 8
 """
 
+# ---------------------------------------------------------------------------
+# P4 staleness: the channel_updater re-enqueues channels whose LATEST
+# upload is old (staleness = now - max(upload) per channel; the reference
+# keeps videos within interval_day of now, New_YouTube_Crawler.py:259-263,
+# and updates channels on a recency horizon). Horizon here = the table's
+# own max ts (deterministic, no wall clock); outputs are integer days.
+# ---------------------------------------------------------------------------
+STALE_DAYS_MIN = 1  # testdata events span ~3 days; >=1 day = 'stale' subset
+
+
+def q_channel_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.col("ts").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .withColumn("stale_days", F.datediff(F.col("h"), F.col("last_day")).cast("int"))
+        .filter(F.col("stale_days") >= STALE_DAYS_MIN)
+        .select("user_id", "stale_days", "n_events")
+    )
+
+
+SQL_CHANNEL_STALENESS = f"""
+WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+per_user AS (
+  SELECT user_id, max(CAST(ts AS DATE)) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(date_diff('day', last_day, (SELECT h FROM h)) AS INT) AS stale_days,
+       n_events
+FROM per_user
+WHERE date_diff('day', last_day, (SELECT h FROM h)) >= {STALE_DAYS_MIN}
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -438,4 +477,5 @@ QUERIES = {
     "json_extract_agg": (q_json_extract, SQL_JSON_EXTRACT),
     "budget_admission": (q_budget_admission, SQL_BUDGET_ADMISSION),
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
+    "channel_staleness": (q_channel_staleness, SQL_CHANNEL_STALENESS),
 }

@@ -177,7 +177,21 @@ def q_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one narrow posexplode->groupBy for the 10×64 centroid
     table (map-side partial sums), then a BROADCAST cross join — no
     shuffle of the vector table."""
-    vecs = load(spark, sf_dir, "embeddings").select(
+    vecs = _qvecs(spark, sf_dir)
+    scored = vecs.crossJoin(F.broadcast(_int_centroids(vecs))).select(
+        "vec_id", "clabel", _centroid_dist().alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("clabel").alias("nearest_label"))
+    )
+
+
+def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, qv) with components quantized to integers."""
+    return load(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform(
@@ -185,7 +199,11 @@ def q_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * CENTROID_Q + 0.5).cast("long"),
         ).alias("qv"),
     )
-    cents = (
+
+
+def _int_centroids(vecs: DataFrame) -> DataFrame:
+    """(clabel, cv: integer sum vector, n: member count) per label."""
+    return (
         vecs.select("label", F.posexplode(F.col("qv")).alias("dim", "x"))
         .groupBy("label", "dim")
         .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
@@ -200,21 +218,18 @@ def q_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+def _centroid_dist(qv: str = "qv") -> Column:
+    """n^2-scaled squared Euclidean distance to the mean centroid as an
+    exact-int-derived double (see q_label_centroid_assign)."""
     n2 = F.col("n") * F.col("n")
     num = (
-        n2 * _ldot(F.col("qv"), F.col("qv"))
-        - F.lit(2) * F.col("n") * _ldot(F.col("qv"), F.col("cv"))
+        n2 * _ldot(F.col(qv), F.col(qv))
+        - F.lit(2) * F.col("n") * _ldot(F.col(qv), F.col("cv"))
         + _ldot(F.col("cv"), F.col("cv"))
     )
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "clabel", (num.cast("double") / n2.cast("double")).alias("dist")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", F.col("clabel").alias("nearest_label"))
-    )
+    return num.cast("double") / n2.cast("double")
 
 
 def _sql_idot(a: str, b: str) -> str:
@@ -224,8 +239,7 @@ def _sql_idot(a: str, b: str) -> str:
     )
 
 
-SQL_CENTROID_ASSIGN = f"""
-WITH q AS (
+_SQL_IVF_CTES = f"""q AS (
   SELECT vec_id, label,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(floor(x * {CENTROID_Q}.0 + 0.5) AS BIGINT)) AS qv
@@ -236,13 +250,17 @@ d AS (
   GROUP BY label, i),
 c AS (
   SELECT label AS clabel, list(s ORDER BY i) AS cv, CAST(max(n) AS BIGINT) AS n
-  FROM d GROUP BY label),
+  FROM d GROUP BY label)"""
+
+_SQL_CDIST = (
+    f"CAST(c.n*c.n*{_sql_idot('qv', 'qv')} - 2*c.n*{_sql_idot('qv', 'cv')}"
+    f" + {_sql_idot('cv', 'cv')} AS DOUBLE) / CAST(c.n*c.n AS DOUBLE)"
+)
+
+SQL_CENTROID_ASSIGN = f"""
+WITH {_SQL_IVF_CTES},
 scored AS (
-  SELECT q.vec_id, c.clabel,
-         CAST(c.n*c.n*{_sql_idot('qv', 'qv')}
-              - 2*c.n*{_sql_idot('qv', 'cv')}
-              + {_sql_idot('cv', 'cv')} AS DOUBLE)
-         / CAST(c.n*c.n AS DOUBLE) AS dist
+  SELECT q.vec_id, c.clabel, {_SQL_CDIST} AS dist
   FROM q CROSS JOIN c)
 SELECT vec_id, clabel AS nearest_label FROM (
   SELECT vec_id, clabel,
@@ -252,8 +270,97 @@ SELECT vec_id, clabel AS nearest_label FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN: the real scale path for similarity search. Coarse-quantize the
+# corpus into centroid lists (labels here — in production, k-means cells),
+# probe only the NPROBE nearest lists per query, exact-rerank inside them.
+# Search cost per query ~ corpus * NPROBE / n_lists instead of the full
+# brute-force scan (ann_cosine_topk remains the exactness baseline).
+# ---------------------------------------------------------------------------
+IVF_NPROBE = 3
+
+
+def _int_cosine(a: Column, b: Column) -> Column:
+    """Cosine over INTEGER-quantized vectors: the three dot products are
+    exact int64 (< 2^53), so the one sqrt + one division are correctly
+    rounded doubles — identical bits in Spark and DuckDB."""
+    return _ldot(a, b).cast("double") / F.sqrt((_ldot(a, a) * _ldot(b, b)).cast("double"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVF search, bit-exact across engines.
+
+    Stage 1 (probe selection): rank centroid lists per query by the
+    integer-exact centroid distance; keep the IVF_NPROBE nearest.
+    Stage 2 (rerank): exact cosine over the quantized vectors, but ONLY
+    for corpus vectors whose list was probed. Both the probe table
+    (N_QUERIES×IVF_NPROBE rows) and the query vectors broadcast, so the
+    corpus shuffles on nothing — one broadcast-join scan."""
+    vecs = _qvecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    probe_scored = queries.crossJoin(F.broadcast(_int_centroids(vecs))).select(
+        "query_id", "clabel", "qq", _centroid_dist("qq").alias("dist")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
+    probes = (
+        probe_scored.withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= IVF_NPROBE)
+        .select("query_id", F.col("clabel").alias("label"), "qq")
+    )
+    cands = vecs.join(F.broadcast(probes), "label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _int_cosine(F.col("qq"), F.col("qv")).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+def _sql_int_cosine(a: str, b: str) -> str:
+    return (
+        f"CAST({_sql_idot(a, b)} AS DOUBLE)"
+        f" / sqrt(CAST({_sql_idot(a, a)} * {_sql_idot(b, b)} AS DOUBLE))"
+    )
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_SQL_IVF_CTES},
+probe_scored AS (
+  SELECT q.vec_id AS query_id, c.clabel, q.qv AS qq, {_SQL_CDIST} AS dist
+  FROM q CROSS JOIN c WHERE q.vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, clabel AS label, qq FROM (
+    SELECT query_id, clabel, qq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dist ASC, clabel ASC) AS prnk
+    FROM probe_scored) WHERE prnk <= {IVF_NPROBE}),
+scored AS (
+  SELECT p.query_id, v.vec_id AS neighbor_id,
+         {_sql_int_cosine('p.qq', 'v.qv')} AS cos
+  FROM probes p JOIN q v ON v.label = p.label
+  WHERE v.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored) WHERE rnk <= {TOPK}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "embedding_centroid_assign": (q_label_centroid_assign, SQL_CENTROID_ASSIGN),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }
