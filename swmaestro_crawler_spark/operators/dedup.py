@@ -412,6 +412,76 @@ FROM (SELECT doc_id, {SQL_WORD_HASH.format(c='w')} AS wh FROM ({_SQL_DOC_WORDS})
 GROUP BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# near-dup CLUSTERS: connected components over the LSH-verified pair graph
+# (the step a real dedup pipeline runs after pair discovery — groups of
+# mutual near-dups collapse to one representative). Spark side: iterative
+# min-label propagation over the edge list — each iteration is one
+# hash-partitioned join + min-agg (the scalable CC pattern; iterations =
+# graph diameter, tiny for near-dup clusters). Oracle: DuckDB recursive
+# CTE computing min reachable id per node. Output is integer ids only.
+# ---------------------------------------------------------------------------
+CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("comp", F.col("doc"))
+        .persist()
+    )
+    for _ in range(CC_MAX_ITERS):
+        # neighbor min: comp(doc) <- min(comp(doc), min over neighbors)
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc)
+            .groupBy(edges.doc_a.alias("doc"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select("doc", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc", "comp")
+    edges.unpersist()
+    return out
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_sql_candidate_ctes()},
+n_match_pairs AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sigs a ON pairs.doc_a = a.doc_id
+  JOIN sigs b ON pairs.doc_b = b.doc_id
+  WHERE {" + ".join(f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K))}
+        >= {LSH_MIN_MATCH}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM n_match_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM n_match_pairs),
+reach(doc, m) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.doc)
+SELECT doc, CAST(min(m) AS BIGINT) AS comp FROM reach GROUP BY doc
+"""
+
+
 QUERIES = {
     "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
     "dedup_keepfirst_events": (q_dedup_keepfirst_events, SQL_DEDUP_KEEPFIRST_EVENTS),
@@ -419,5 +489,6 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
 }

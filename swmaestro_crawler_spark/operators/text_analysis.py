@@ -15,10 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.text import (
     SQL_BPE_COUNT,
+    SQL_WORD_HASH,
     SQL_WORDS,
     bpe_token_count,
     lang_guess,
     sql_lang_guess,
+    word_hash,
     words,
 )
 from ..sources.testdata import load
@@ -134,9 +136,63 @@ SELECT doc_id, len(runs) AS n_runs,
 FROM r
 """
 
+# ---------------------------------------------------------------------------
+# deterministic train/valid/test split — a training-data pipeline staple.
+# The split key is the engine-independent md5-prefix hash of doc_id (same
+# kernel as the MinHash word hash), NOT a random draw: reproducible across
+# engines, runs, and cluster sizes, and stable under re-partitioning.
+# 80/10/10 by hash mod 10.
+# ---------------------------------------------------------------------------
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = word_hash(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return load(spark, sf_dir, "documents").select("doc_id", split.alias("split"))
+
+
+SQL_SAMPLE_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'valid' ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             {SQL_WORD_HASH.format(c="CAST(doc_id AS VARCHAR)")} % 10 AS h
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary top-k: global word counts, top 100 by (count DESC,
+# word ASC). Spark's orderBy+limit compiles to TakeOrderedAndProject —
+# a distributed partial top-k per partition merged on the driver, NOT a
+# single-reducer global sort; ties are broken by word so the cut is a
+# total order (deterministic LIMIT).
+# ---------------------------------------------------------------------------
+VOCAB_TOPK = 100
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w").asc())
+        .limit(VOCAB_TOPK)
+    )
+
+
+SQL_VOCAB_TOPK = f"""
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({SQL_WORDS.format(c="text")}) AS w FROM documents)
+GROUP BY w ORDER BY n DESC, w ASC LIMIT {VOCAB_TOPK}
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "text_lang_guess": (q_lang_guess, SQL_LANG_GUESS),
     "text_runs_flatten": (q_runs_flatten, SQL_RUNS_FLATTEN),
+    "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
 }
