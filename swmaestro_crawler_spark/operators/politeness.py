@@ -40,8 +40,19 @@ def priority_order():
 
 
 def synth_robots(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
-    rows = [synth_web.robots_for_host(h, cfg) for h in synth_web.hosts(cfg.synth_n_hosts)]
-    return spark.createDataFrame(rows, ROBOTS)
+    """ROBOTS dimension from RAW robots.txt bodies through the vectorized
+    parser (functions/robots.py) — the end-to-end path a real crawl runs
+    (fetch robots.txt like any page, parse, schedule). The sequential
+    oracle consumes the structured robots_for_host directly, so the
+    crawl-equality tests double as render→parse round-trip checks."""
+    from ..functions.robots import robots_table_from_bodies
+
+    rows = [
+        (h, synth_web.robots_txt_for_host(h, cfg))
+        for h in synth_web.hosts(cfg.synth_n_hosts)
+    ]
+    bodies = spark.createDataFrame(rows, "host string, body string")
+    return robots_table_from_bodies(bodies)
 
 
 def split_robots_excluded(

@@ -360,6 +360,23 @@ def robots_for_host(host: str, cfg: CrawlConfig) -> dict:
     return {"host": host, "crawl_delay_s": delay, "disallow_prefixes": disallow, "fetched_round": 0}
 
 
+def robots_txt_for_host(host: str, cfg: CrawlConfig) -> str:
+    """The same deterministic policy rendered as an actual robots.txt
+    BODY — what the engine fetches and parses (the ROBOTS table is built
+    by functions/robots.parse_robots over these, not handed structured
+    rows; the oracle keeps using the structured robots_for_host, so any
+    render/parse disagreement fails the crawl-equality tests)."""
+    r = robots_for_host(host, cfg)
+    lines = [
+        f"# synthetic robots for {host}",
+        "User-agent: *",
+        f"Crawl-delay: {r['crawl_delay_s']}",
+        *[f"Disallow: {p}" for p in r["disallow_prefixes"]],
+        "",
+    ]
+    return "\n".join(lines)
+
+
 def make_seeds(cfg: CrawlConfig, n_seeds: int = 100) -> list[dict]:
     """Deterministic seed list mirroring the Nox/Vling category rankings
     (Utils/Nox_Crawler.py:86-113): 15 categories x 4 rank orders."""

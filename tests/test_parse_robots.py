@@ -78,3 +78,25 @@ def test_udf_builds_robots_table(spark):
     assert rows["h1.example.com"].crawl_delay_s == 2.5
     assert rows["h1.example.com"].disallow_prefixes == ["/private/"]
     assert rows["h2.example.com"].disallow_prefixes == ["/a", "/b"]
+
+
+def test_render_parse_round_trip(spark):
+    """synth_web.robots_txt_for_host rendered bodies must parse back to
+    exactly the structured policy the oracle consumes."""
+    from swmaestro_crawler_spark.functions.robots import parse_robots_frame
+    from swmaestro_crawler_spark.sources.synth_web import (
+        hosts,
+        robots_for_host,
+        robots_txt_for_host,
+    )
+    from tests.conftest import small_cfg
+
+    import pandas as pd
+
+    cfg = small_cfg("/tmp/unused")
+    hs = hosts(cfg.synth_n_hosts)
+    parsed = parse_robots_frame(pd.Series([robots_txt_for_host(h, cfg) for h in hs]))
+    for i, h in enumerate(hs):
+        want = robots_for_host(h, cfg)
+        assert parsed["crawl_delay_s"].iloc[i] == want["crawl_delay_s"], h
+        assert list(parsed["disallow_prefixes"].iloc[i]) == want["disallow_prefixes"], h
