@@ -29,19 +29,7 @@ EVENTS_SCHEMA = (
 def stream_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed (1 day) per-type event counts with a 1h watermark,
     processed as a stream of parquet files and drained with availableNow."""
-    # FileStreamSource requires a DIRECTORY; the testdata table is a single
-    # file, so stage a symlink dir (no data copied)
-    stage = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(stage, "events.parquet"),
-    )
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(stage)
-        # watermarks need an instant (TIMESTAMP, not NTZ); session tz is UTC
-        .withColumn("ts", F.col("ts").cast("timestamp"))
-    )
+    src = _staged_events_stream(spark, sf_dir)
     agg = (
         src.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -72,9 +60,70 @@ SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
 FROM events GROUP BY 1, 2
 """
 
+
+def _staged_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FileStreamSource requires a DIRECTORY; the testdata table is a single
+    # file, so stage a symlink dir (no data copied). Watermarks need an
+    # instant (TIMESTAMP, not NTZ); session tz is UTC.
+    stage = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(stage, "events.parquet"),
+    )
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(stage)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def stream_sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING event-time window (2h length, 1h hop) with watermark —
+    each event lands in exactly two overlapping windows. The DuckDB
+    oracle reconstructs the hop assignment analytically (unnest of the
+    two hour-aligned window starts per event)."""
+    src = _staged_events_stream(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAM_SLIDING_HOURLY_COUNTS = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws,
+         event_type
+  FROM events)
+GROUP BY 1, 2
+"""
+
 QUERIES = {
     "streaming_daily_event_counts": (
         lambda spark, sf_dir: stream_daily_event_counts(spark, sf_dir),
         SQL_STREAM_DAILY_EVENT_COUNTS,
+    ),
+    "streaming_sliding_hourly_counts": (
+        lambda spark, sf_dir: stream_sliding_hourly_counts(spark, sf_dir),
+        SQL_STREAM_SLIDING_HOURLY_COUNTS,
     ),
 }
