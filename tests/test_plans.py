@@ -123,3 +123,50 @@ def test_robots_join_is_broadcast(spark, cfg):
     frontier = seeds_to_frontier(spark.createDataFrame(make_seeds(cfg, 64)))
     allowed, _, _ = split_robots_excluded(frontier, synth_robots(spark, cfg))
     assert "BroadcastHashJoin" in plan_of(allowed)
+
+
+def test_ivf_ann_broadcasts_probes_no_cartesian(spark):
+    """IVF rerank: the corpus side must join the (tiny) probe table by
+    broadcast — never a cartesian product or a sort-merge shuffle of the
+    vector table."""
+    from swmaestro_crawler_spark.operators.similarity import q_ann_ivf_topk
+
+    plan = plan_of(q_ann_ivf_topk(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark):
+    from swmaestro_crawler_spark.operators.similarity import q_label_centroid_assign
+
+    plan = plan_of(q_label_centroid_assign(spark, SF_DIR))
+    # the 10-row centroid table broadcasts against the vector scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_fed_jaccard_joins_on_hash_keys(spark):
+    """Candidate discovery must be a shuffled hash join on band keys and
+    the verify stage hash joins on doc ids — no quadratic join shape."""
+    from swmaestro_crawler_spark.operators.dedup import q_ngram_jaccard_pairs
+
+    plan = plan_of(q_ngram_jaccard_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staleness_horizon_is_broadcast(spark):
+    from swmaestro_crawler_spark.operators.relational import q_channel_staleness
+
+    plan = plan_of(q_channel_staleness(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_vocab_topk_is_take_ordered_not_global_sort(spark):
+    from swmaestro_crawler_spark.operators.text_analysis import q_vocab_topk
+
+    plan = plan_of(q_vocab_topk(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
