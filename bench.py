@@ -46,9 +46,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             _force(load(spark, sf_dir, t).limit(1))
         except Exception:
             pass
+    qs = entrymod.queries()
+    # one full UNMEASURED query completes whole-stage-codegen/JIT warmup
+    # (a limit(1) scan does not); without it the first measured query is
+    # charged ~2s of one-time compilation (disclosed steady-state bench)
+    first = next(iter(qs.values()), None)
+    if first is not None:
+        _force(first(spark, sf_dir))
 
     out: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in qs.items():
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)

@@ -435,26 +435,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("doc"))
         .persist()
     )
+    handle = labels
     for _ in range(CC_MAX_ITERS):
-        # neighbor min: comp(doc) <- min(comp(doc), min over neighbors)
+        # neighbor min: comp(doc) <- min(comp(doc), min over neighbors).
+        # ONE persisted join per iteration; the convergence probe counts
+        # strict improvements on the same cached frame (materializing
+        # it), and the next iteration's labels are a lazy projection of
+        # that cache — no second join, half the jobs per iteration.
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc)
             .groupBy(edges.doc_a.alias("doc"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
+        upd = (
             labels.join(neighbor_min, "doc", "left")
-            .select("doc", F.least("comp", F.coalesce("ncomp", "comp")).alias("comp"))
+            .select(
+                "doc",
+                "comp",
+                F.least("comp", F.coalesce("ncomp", "comp")).alias("newcomp"),
+            )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = upd.filter(F.col("newcomp") < F.col("comp")).count()
+        handle.unpersist()  # previous iteration's cache (upd is materialized)
+        labels = upd.select("doc", F.col("newcomp").alias("comp"))
+        handle = upd
         if changed == 0:
             break
     out = labels.select("doc", "comp")
