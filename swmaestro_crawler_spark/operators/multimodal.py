@@ -161,6 +161,124 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n,
 FROM c GROUP BY kind
 """
 
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing: the other two mapInPandas stages a
+# multimodal pipeline needs (decode is above). Real image/video libs are
+# absent in this container, so the TRANSFORMS are deterministic integer
+# math over the decoded header/body — the Spark-side shape (binary in,
+# typed struct out, Arrow batches) is the production shape; swapping in
+# Pillow/ffmpeg changes only the per-batch function body.
+# ---------------------------------------------------------------------------
+
+THUMB_MAX = 64          # thumbnail bounding box (aspect-preserving)
+FRAME_STRIDE = 8        # video frame sampling: every 8th body byte
+
+RESIZED_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("thumb_w", IntegerType(), False),
+        StructField("thumb_h", IntegerType(), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("frame_checksum", LongType(), False),
+    ]
+)
+
+
+def resize_dims(w: int, h: int) -> tuple[int, int]:
+    """Aspect-preserving fit into THUMB_MAX (integer floor math — exact
+    in any engine; never upscales)."""
+    s = max(w, h)
+    if s <= THUMB_MAX:
+        return w, h
+    return max(1, w * THUMB_MAX // s), max(1, h * THUMB_MAX // s)
+
+
+def resize_and_sample(media: DataFrame) -> DataFrame:
+    """Arrow-batched resize + frame-sample over binary blobs: images get
+    thumbnail dims; videos additionally sample every FRAME_STRIDE-th body
+    byte as a 'frame' and checksum them (audio: dims pass through as
+    0x0, no frames)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            tw, th, nf, fc = [], [], [], []
+            for kind, blob in zip(b["kind"], b["blob"]):
+                if kind == "audio":
+                    tw.append(0)
+                    th.append(0)
+                else:
+                    w, h = decode_image_meta(blob)
+                    rw, rh = resize_dims(w, h)
+                    tw.append(rw)
+                    th.append(rh)
+                body = blob[9:]
+                if kind == "video":
+                    frames = body[::FRAME_STRIDE]
+                    nf.append(len(frames))
+                    fc.append(sum(frames))
+                else:
+                    nf.append(0)
+                    fc.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "thumb_w": tw,
+                    "thumb_h": th,
+                    "n_frames": nf,
+                    "frame_checksum": fc,
+                }
+            )
+
+    return media.mapInPandas(stage, RESIZED_META)
+
+
+def q_media_resize_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """blobs -> resize/frame-sample -> per-kind integer stats, with an
+    ANALYTIC oracle (dims and sampled-byte checksums are pure functions
+    of doc_id)."""
+    out = resize_and_sample(media_table(spark, sf_dir))
+    return out.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("thumb_w").alias("max_tw"),
+        F.max("thumb_h").alias("max_th"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("frame_checksum").alias("sum_frame_checksum"),
+    )
+
+
+# body byte j (0-based within the 64-byte body) = (doc_id*31 + j) % 256;
+# sampled frames are j in {0, 8, 16, ..., 56} -> 8 frames per video.
+SQL_MEDIA_RESIZE_SAMPLE = f"""
+WITH m AS (
+  SELECT doc_id,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         16 + (doc_id * 7919) % 1024 AS w,
+         16 + (doc_id * 104729) % 768 AS h
+  FROM documents WHERE doc_id < 200),
+r AS (
+  SELECT kind,
+         CASE WHEN kind = 'audio' THEN 0
+              WHEN greatest(w, h) <= {THUMB_MAX} THEN w
+              ELSE greatest(1, w * {THUMB_MAX} // greatest(w, h)) END AS tw,
+         CASE WHEN kind = 'audio' THEN 0
+              WHEN greatest(w, h) <= {THUMB_MAX} THEN h
+              ELSE greatest(1, h * {THUMB_MAX} // greatest(w, h)) END AS th,
+         CASE WHEN kind = 'video' THEN 8 ELSE 0 END AS n_frames,
+         CASE WHEN kind = 'video'
+              THEN list_sum(list_transform(generate_series(0, 7),
+                            i -> (doc_id * 31 + i * {FRAME_STRIDE}) % 256))
+              ELSE 0 END AS frame_checksum
+  FROM m)
+SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(tw) AS INT) AS max_tw, CAST(max(th) AS INT) AS max_th,
+       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+       CAST(sum(frame_checksum) AS BIGINT) AS sum_frame_checksum
+FROM r GROUP BY kind
+"""
+
 QUERIES = {
     "multimodal_media_meta": (q_media_meta, SQL_MEDIA_META),
+    "multimodal_resize_sample": (q_media_resize_sample, SQL_MEDIA_RESIZE_SAMPLE),
 }
