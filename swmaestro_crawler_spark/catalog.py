@@ -275,6 +275,26 @@ class Catalog:
             cols.append(c.alias(f.name))
         return df.select(*cols)
 
+    def read_delta(
+        self, table: str, schema: StructType, snapshot: int
+    ) -> DataFrame:
+        """INCREMENTAL scan: only the data files snapshot ``snapshot``
+        ADDED (the Iceberg incremental-read / changelog analogue). Lets a
+        consumer process one crawl round's appends — e.g. stream the
+        crawl_order increments — without rescanning the table. Appends
+        only; an overwrite snapshot's delta is its full file set."""
+        m = self._load_manifest(table)
+        cur = [s for s in m["snapshots"] if s["id"] == snapshot]
+        prev = [s for s in m["snapshots"] if s["id"] == snapshot - 1]
+        if not cur:
+            raise KeyError(f"{table}@{snapshot}")
+        prev_files = set(prev[0]["files"]) if prev else set()
+        files = [f for f in cur[0]["files"] if f not in prev_files]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self._dir(table), f) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def row_count(self, table: str, snapshot: int | None = None) -> int:
         """Row count from parquet footer metadata — no Spark job (the
         Iceberg analogue reads it from manifest stats). PRE-filter for

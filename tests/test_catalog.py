@@ -32,3 +32,23 @@ def test_append_overwrite_rollback_timetravel(spark, tmp_path):
     # appends after rollback build on the rolled-back state
     cat.append("t", _r(spark, 1))
     assert cat.read("t", SCHEMA).count() == 4
+
+
+def test_read_delta_returns_only_snapshot_increment(spark, cfg):
+    """Incremental scan (Iceberg changelog analogue): per-round appends
+    of crawl_order read back exactly, round by round."""
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.schema import CRAWL_ORDER
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    crawl = Crawl(spark, cfg)
+    crawl.run(spark.createDataFrame(make_seeds(cfg, 30)), rounds=3)
+    cat = crawl.cat
+    total = cat.read("crawl_order", CRAWL_ORDER).count()
+    per_round = 0
+    for sid in range(1, cat.current_snapshot("crawl_order") + 1):
+        inc = cat.read_delta("crawl_order", CRAWL_ORDER, sid)
+        rounds = {r.round for r in inc.select("round").distinct().collect()}
+        assert len(rounds) <= 1  # one append = one round's increment
+        per_round += inc.count()
+    assert per_round == total
