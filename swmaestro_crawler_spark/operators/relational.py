@@ -461,6 +461,26 @@ WHERE date_diff('day', last_day, (SELECT h FROM h)) >= {STALE_DAYS_MIN}
 """
 
 
+# ---------------------------------------------------------------------------
+# A-family breadth: ROLLUP (grouping-sets) metrics — per (day, type),
+# per day, and grand total in ONE pass (map-side partials per grouping
+# set; the OLAP shape of the reference's layered count queries)
+# ---------------------------------------------------------------------------
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_DAILY_ROLLUP = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY ROLLUP (1, 2)
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -478,4 +498,5 @@ QUERIES = {
     "budget_admission": (q_budget_admission, SQL_BUDGET_ADMISSION),
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "channel_staleness": (q_channel_staleness, SQL_CHANNEL_STALENESS),
+    "daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
 }

@@ -188,6 +188,60 @@ GROUP BY w ORDER BY n DESC, w ASC LIMIT {VOCAB_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# end-to-end corpus curation: quality filter -> exact dedup (keep the
+# min-id representative) -> deterministic split assignment -> per-split
+# stats, composed from the battery's own kernels in ONE declarative plan
+# (what a real training-data pipeline chains). Thresholds compare exact
+# integer rationals, so the filter cannot flake across engines.
+# ---------------------------------------------------------------------------
+CURATION_MIN_TOKENS = 5
+CURATION_MIN_TTR_NUM, CURATION_MIN_TTR_DEN = 1, 2  # type/token ratio >= 1/2
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("ws", words(F.col("text")))
+    quality = d.filter(
+        (F.size(F.col("ws")) >= CURATION_MIN_TOKENS)
+        & (
+            F.size(F.array_distinct(F.col("ws"))) * CURATION_MIN_TTR_DEN
+            >= F.size(F.col("ws")) * CURATION_MIN_TTR_NUM
+        )
+    )
+    rep = (
+        quality.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.max("n_chars").alias("n_chars"))
+    )
+    h = word_hash(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(h < 8, F.lit("train")).when(h < 9, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return (
+        rep.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH q AS (
+  SELECT doc_id, text, n_chars, {SQL_WORDS.format(c="text")} AS ws FROM documents),
+quality AS (
+  SELECT * FROM q
+  WHERE len(ws) >= {CURATION_MIN_TOKENS}
+    AND len(list_distinct(ws)) * {CURATION_MIN_TTR_DEN} >= len(ws) * {CURATION_MIN_TTR_NUM}),
+rep AS (
+  SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, max(n_chars) AS n_chars
+  FROM quality GROUP BY 1),
+assigned AS (
+  SELECT *, {SQL_WORD_HASH.format(c="CAST(doc_id AS VARCHAR)")} % 10 AS h FROM rep)
+SELECT CASE WHEN h < 8 THEN 'train' WHEN h < 9 THEN 'valid' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -195,4 +249,5 @@ QUERIES = {
     "text_runs_flatten": (q_runs_flatten, SQL_RUNS_FLATTEN),
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
+    "corpus_curation_pipeline": (q_corpus_curation, SQL_CORPUS_CURATION),
 }
