@@ -49,9 +49,23 @@ def extract_spans_arrow(payload):
     flat = pc.list_flatten(segs)
     flat_mask = np.repeat(nonempty, counts)
     parts = pc.split_pattern(flat.filter(pa.array(flat_mask)), FIELD)
-    kind = pc.list_element(parts, 0)
-    text = pc.list_element(parts, 1)
-    media = pc.list_element(parts, 2)
+    # TOLERANT field access: a segment may carry fewer than 3 fields (the
+    # scalar parser pads with "" — (seg.split(FIELD) + ["",""])[:3]); a
+    # raw list_element would raise on the short lists, so take the flat
+    # values at clipped offsets and blank the absent ones.
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    vals = pc.list_flatten(parts)
+
+    def _field(i: int):
+        have = lens > i
+        idx = np.where(have, starts + i, 0)
+        raw = vals.take(pa.array(idx, type=pa.int64()))
+        return pc.if_else(pa.array(have), raw, pa.scalar("", type=pa.string()))
+
+    kind = _field(0)
+    text = _field(1)
+    media = _field(2)
 
     keep_counts = np.where(nonempty, counts, 0).astype(np.int32)
     new_offsets = np.concatenate([[0], np.cumsum(keep_counts)]).astype(np.int32)
