@@ -52,3 +52,52 @@ def test_kernel_empty_batch_and_empty_payloads():
     assert extract_spans_arrow(pa.array([], type=pa.string())).to_pylist() in ([], [[]])
     got = extract_spans_arrow(pa.array(["", "", ""], type=pa.string())).to_pylist()
     assert got == [[], [], []]
+
+
+# ---------------------------------------------------------------------------
+# same treatment for the Arrow HTML comment kernel: random pages with
+# replies, missing text spans, and junk between items, against a scalar
+# mirror of the extraction semantics
+# ---------------------------------------------------------------------------
+
+_ITEM = '<div class="comment-item" data-cid="'
+_TEXTM = '<span class="comment-text-content">'
+
+
+def _scalar_comments(html: str) -> list[str]:
+    out = []
+    for frag in html.split(_ITEM)[1:]:
+        cid = frag.split('"')[0]
+        if "." in cid:
+            continue
+        parts = frag.split(_TEXTM)
+        if len(parts) < 2:
+            continue
+        out.append(parts[1].split("</span>")[0])
+    return out
+
+
+_CID = st.text(alphabet="abc019.x", min_size=0, max_size=8)
+_CTXT = st.text(alphabet="abc z019'", min_size=0, max_size=10)
+
+
+@st.composite
+def comment_pages(draw):
+    n = draw(st.integers(min_value=0, max_value=4))
+    page = "<html>" + draw(_CTXT)
+    for _ in range(n):
+        cid = draw(_CID)
+        page += _ITEM + cid + '">'
+        if draw(st.booleans()):
+            page += _TEXTM + draw(_CTXT) + "</span>"
+        page += "</div>" + draw(_CTXT)
+    return page + "</html>"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(comment_pages(), min_size=1, max_size=6))
+def test_arrow_comment_kernel_matches_scalar_mirror(batch):
+    from swmaestro_crawler_spark.functions.html_extract import extract_comments_arrow
+
+    got = extract_comments_arrow(pa.array(batch, type=pa.string())).to_pylist()
+    assert got == [_scalar_comments(h) for h in batch], batch
