@@ -11,7 +11,7 @@ functions/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions.text import (
     SQL_BPE_COUNT,
@@ -242,6 +242,39 @@ FROM assigned GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# stratified downsampling: cap documents per (lang, source) stratum at K,
+# keeping a DETERMINISTIC hash-ordered prefix (not a random draw) — the
+# class-balancing step of corpus assembly, reproducible across engines,
+# runs, and partitionings. The rank is a per-stratum window (hash-
+# partitioned shuffle on the stratum key; no global ordering anywhere).
+# ---------------------------------------------------------------------------
+STRATUM_CAP = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn(
+        "h", word_hash(F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("lang", "source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_CAP)
+        .select("doc_id", "lang", "source", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source, CAST(rn AS INT) AS rn FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {SQL_WORD_HASH.format(c="CAST(doc_id AS VARCHAR)")} ASC,
+                    doc_id ASC) AS rn
+  FROM documents) WHERE rn <= {STRATUM_CAP}
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -250,4 +283,5 @@ QUERIES = {
     "sample_split": (q_sample_split, SQL_SAMPLE_SPLIT),
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "corpus_curation_pipeline": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
 }
