@@ -288,6 +288,18 @@ class Catalog:
         prev = [s for s in m["snapshots"] if s["id"] == snapshot - 1]
         if not cur:
             raise KeyError(f"{table}@{snapshot}")
+        if snapshot > 0 and not prev:
+            # Snapshot ids are dense (append/overwrite assign current+1),
+            # so a missing ``snapshot-1`` entry means expire_snapshots
+            # dropped it. Falling through would return the snapshot's FULL
+            # cumulative file set as if it were all new — a streaming
+            # consumer would re-emit every prior row. Fail loudly instead
+            # (same contract as Iceberg incremental read past the
+            # expiration horizon).
+            raise KeyError(
+                f"{table}@{snapshot}: predecessor snapshot {snapshot - 1} "
+                "was expired; incremental read is no longer possible"
+            )
         prev_files = set(prev[0]["files"]) if prev else set()
         files = [f for f in cur[0]["files"] if f not in prev_files]
         if not files:

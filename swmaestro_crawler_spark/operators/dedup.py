@@ -424,10 +424,29 @@ GROUP BY doc_id
 CC_MAX_ITERS = 20
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+def connected_components(
+    edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list
+    ``(doc_a, doc_b)`` (one direction is enough; both are symmetrized
+    here). Returns ``(doc, comp)`` with comp = min node id reachable.
+
+    Each iteration runs TWO hash joins:
+      1. neighbor min — comp(v) <- min(comp(v), min over N(v));
+      2. pointer jump — comp(v) <- comp(comp(v))  (label doubling).
+    Step 2 is what makes this O(log diameter) instead of O(diameter)
+    rounds (VERDICT r2 item 3 stretch): a d-hop chain that plain
+    propagation needs d rounds for converges in ~log2(d). comp values
+    are always node ids, so the jump is a self-join of the label table.
+    Persist/unpersist is managed per iteration; the convergence probe
+    counts strict improvements on the cached frame. If the cap is hit
+    with labels still improving, raise — never return wrong components
+    silently."""
+    edges = edges.select(
+        F.col(edges.columns[0]).alias("doc_a"), F.col(edges.columns[1]).alias("doc_b")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
     labels = (
         edges.select(F.col("doc_a").alias("doc"))
@@ -436,23 +455,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     handle = labels
-    for _ in range(CC_MAX_ITERS):
-        # neighbor min: comp(doc) <- min(comp(doc), min over neighbors).
-        # ONE persisted join per iteration; the convergence probe counts
-        # strict improvements on the same cached frame (materializing
-        # it), and the next iteration's labels are a lazy projection of
-        # that cache — no second join, half the jobs per iteration.
+    changed = 0
+    for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc)
             .groupBy(edges.doc_a.alias("doc"))
             .agg(F.min("comp").alias("ncomp"))
         )
+        stepped = labels.join(neighbor_min, "doc", "left").select(
+            "doc",
+            "comp",
+            F.least("comp", F.coalesce("ncomp", "comp")).alias("comp1"),
+        )
+        # pointer jump: comp1 values are node ids present in `stepped`,
+        # so resolve comp(comp1) with one self-join; comp(x) <= x always,
+        # hence the joined jcomp can only improve the label.
+        jump = stepped.select(F.col("doc").alias("jdoc"), F.col("comp1").alias("jcomp"))
         upd = (
-            labels.join(neighbor_min, "doc", "left")
+            stepped.join(jump, stepped.comp1 == jump.jdoc, "left")
             .select(
                 "doc",
                 "comp",
-                F.least("comp", F.coalesce("ncomp", "comp")).alias("newcomp"),
+                F.least("comp1", F.coalesce("jcomp", "comp1")).alias("newcomp"),
             )
             .persist()
         )
@@ -462,9 +486,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle = upd
         if changed == 0:
             break
+    else:
+        # Convergence guard (VERDICT r2 item 3): never return possibly
+        # wrong labels silently — a component wider than the cap allows
+        # must fail loudly.
+        if changed > 0:
+            edges.unpersist()
+            raise RuntimeError(
+                f"connected_components: not converged after {max_iters} "
+                f"iterations ({changed} labels still improving); raise "
+                "max_iters (each iteration doubles reach, so the cap "
+                f"covers diameter ~2^{max_iters})"
+            )
     out = labels.select("doc", "comp")
     edges.unpersist()
     return out
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
 
 
 SQL_DEDUP_CLUSTERS = f"""

@@ -167,12 +167,19 @@ def q_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float->double widening and floor are IEEE-identical in Spark and
     DuckDB); the label centroid is the integer SUM vector c plus count n;
     squared Euclidean distance to the MEAN centroid scaled by n^2 is the
-    exact integer  n^2*|v|^2 - 2n*<v,c> + |c|^2.  With Q=1000, 64 dims,
-    |x|<=1 and n<=10^4 vectors/label every term is < 2^53, so casting to
-    double is EXACT and the single division by n^2 is correctly rounded —
-    both engines produce identical doubles, making the argmin (tie-broken
-    by label) deterministic. At larger per-label counts, lower Q or lift
-    the terms into DECIMAL(38,0).
+    exact integer  n^2*|v|^2 - 2n*<v,c> + |c|^2.
+
+    Why cross-engine equality holds (ADVICE r2): individual terms need
+    NOT fit in 2^53 — with Q=1000, 64 dims, |x|<=1, n=10^4 the 2n*<v,c>
+    term can reach ~1.3e16 > 2^53. Both engines assemble the SAME exact
+    int64 numerator first and cast that single int64 to double once;
+    int64->double is round-to-nearest-even of the same value in both, and
+    the one division by n^2 is then correctly rounded — identical bits
+    either way. The real limit is int64 overflow of the numerator
+    (~9.2e18, reached near n ~ 4x10^5 at Q=1000/64 dims): beyond it Spark
+    (non-ANSI) WRAPS silently while DuckDB errors, so equality — and
+    correctness — require staying under it. At larger per-label counts,
+    lower Q or lift the terms into DECIMAL(38,0).
 
     Plan shape: one narrow posexplode->groupBy for the 10×64 centroid
     table (map-side partial sums), then a BROADCAST cross join — no
