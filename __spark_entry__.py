@@ -57,6 +57,7 @@ def _all_modules():
     from swmaestro_crawler_spark.functions import html_extract
     from swmaestro_crawler_spark.operators import (
         dedup,
+        kmeans,
         multimodal,
         relational,
         similarity,
@@ -69,6 +70,7 @@ def _all_modules():
         dedup,
         text_analysis,
         similarity,
+        kmeans,
         multimodal,
         html_extract,
         stream_metrics,

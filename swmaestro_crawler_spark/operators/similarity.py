@@ -278,60 +278,16 @@ SELECT vec_id, clabel AS nearest_label FROM (
 
 
 # ---------------------------------------------------------------------------
-# IVF ANN: the real scale path for similarity search. Coarse-quantize the
-# corpus into centroid lists (labels here — in production, k-means cells),
-# probe only the NPROBE nearest lists per query, exact-rerank inside them.
-# Search cost per query ~ corpus * NPROBE / n_lists instead of the full
-# brute-force scan (ann_cosine_topk remains the exactness baseline).
+# IVF ANN moved to operators/kmeans.py (round 3): the index is now TRAINED
+# — Lloyd's k-means centroids instead of the data's label column — so the
+# search query lives next to its trainer. The quantized-cosine kernels
+# below stay here as the shared exact-math library.
 # ---------------------------------------------------------------------------
-IVF_NPROBE = 3
-
-
 def _int_cosine(a: Column, b: Column) -> Column:
     """Cosine over INTEGER-quantized vectors: the three dot products are
     exact int64 (< 2^53), so the one sqrt + one division are correctly
     rounded doubles — identical bits in Spark and DuckDB."""
     return _ldot(a, b).cast("double") / F.sqrt((_ldot(a, a) * _ldot(b, b)).cast("double"))
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage IVF search, bit-exact across engines.
-
-    Stage 1 (probe selection): rank centroid lists per query by the
-    integer-exact centroid distance; keep the IVF_NPROBE nearest.
-    Stage 2 (rerank): exact cosine over the quantized vectors, but ONLY
-    for corpus vectors whose list was probed. Both the probe table
-    (N_QUERIES×IVF_NPROBE rows) and the query vectors broadcast, so the
-    corpus shuffles on nothing — one broadcast-join scan."""
-    vecs = _qvecs(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
-    )
-    probe_scored = queries.crossJoin(F.broadcast(_int_centroids(vecs))).select(
-        "query_id", "clabel", "qq", _centroid_dist("qq").alias("dist")
-    )
-    wp = Window.partitionBy("query_id").orderBy(F.col("dist").asc(), F.col("clabel").asc())
-    probes = (
-        probe_scored.withColumn("prnk", F.row_number().over(wp))
-        .filter(F.col("prnk") <= IVF_NPROBE)
-        .select("query_id", F.col("clabel").alias("label"), "qq")
-    )
-    cands = vecs.join(F.broadcast(probes), "label").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cands.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _int_cosine(F.col("qq"), F.col("qv")).alias("cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOPK)
-        .select("query_id", "neighbor_id", "rnk")
-    )
 
 
 def _sql_int_cosine(a: str, b: str) -> str:
@@ -341,33 +297,8 @@ def _sql_int_cosine(a: str, b: str) -> str:
     )
 
 
-SQL_ANN_IVF_TOPK = f"""
-WITH {_SQL_IVF_CTES},
-probe_scored AS (
-  SELECT q.vec_id AS query_id, c.clabel, q.qv AS qq, {_SQL_CDIST} AS dist
-  FROM q CROSS JOIN c WHERE q.vec_id < {N_QUERIES}),
-probes AS (
-  SELECT query_id, clabel AS label, qq FROM (
-    SELECT query_id, clabel, qq,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY dist ASC, clabel ASC) AS prnk
-    FROM probe_scored) WHERE prnk <= {IVF_NPROBE}),
-scored AS (
-  SELECT p.query_id, v.vec_id AS neighbor_id,
-         {_sql_int_cosine('p.qq', 'v.qv')} AS cos
-  FROM probes p JOIN q v ON v.label = p.label
-  WHERE v.vec_id <> p.query_id)
-SELECT query_id, neighbor_id, rnk FROM (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
-  FROM scored) WHERE rnk <= {TOPK}
-"""
-
-
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "embedding_centroid_assign": (q_label_centroid_assign, SQL_CENTROID_ASSIGN),
-    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }

@@ -126,15 +126,45 @@ def test_robots_join_is_broadcast(spark, cfg):
 
 
 def test_ivf_ann_broadcasts_probes_no_cartesian(spark):
-    """IVF rerank: the corpus side must join the (tiny) probe table by
-    broadcast — never a cartesian product or a sort-merge shuffle of the
-    vector table."""
-    from swmaestro_crawler_spark.operators.similarity import q_ann_ivf_topk
+    """IVF rerank over TRAINED cells: the corpus side must join the
+    (tiny) probe table by broadcast — never a cartesian product or a
+    sort-merge shuffle of the vector table. Cell assignment is a pure
+    expression, so the ONLY join in the whole search plan is that one
+    broadcast hash join on the cluster key."""
+    from swmaestro_crawler_spark.operators.kmeans import q_ann_ivf_topk
 
-    plan = plan_of(q_ann_ivf_topk(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    plan = plan_of(q_ann_ivf_topk(spark, SF_DIR, broadcast_queries=True))
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_ann_large_queryset_shuffle_fallback(spark):
+    """Above the broadcast limit the probe join must degrade to a
+    shuffled hash join on the cluster key (VERDICT r2 item 4) — and the
+    two paths must return identical rows."""
+    from swmaestro_crawler_spark.operators.kmeans import q_ann_ivf_topk
+
+    shuffled = q_ann_ivf_topk(spark, SF_DIR, broadcast_queries=False)
+    plan = plan_of(shuffled)
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    bcast = q_ann_ivf_topk(spark, SF_DIR, broadcast_queries=True)
+    assert sorted(map(tuple, shuffled.collect())) == sorted(map(tuple, bcast.collect()))
+
+
+def test_kmeans_assignment_is_joinless_expression(spark):
+    """The Lloyd assignment folds centroids in as literals: the contract
+    query's plan must contain NO join of any kind — only the corpus scan,
+    the assignment projection, and the partial-agg update."""
+    from swmaestro_crawler_spark.operators.kmeans import q_kmeans_centroids
+
+    plan = plan_of(q_kmeans_centroids(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
 
 
 def test_centroid_assign_broadcasts_centroids(spark):
