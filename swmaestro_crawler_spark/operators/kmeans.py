@@ -44,7 +44,7 @@ from .similarity import (
     _qvecs,
     _sql_idot,
     _sql_int_cosine,
-    _SQL_IVF_CTES,
+    _SQL_Q_CTE,
 )
 
 KMEANS_K = 8
@@ -175,11 +175,9 @@ def _sql_dist(qv: str = "qv") -> str:
 
 def _sql_kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """CTE chain: q (quantized vecs) -> cent0 (seeds) -> a1/cent1 -> ...
-    -> cent{iters}. Reuses similarity._SQL_IVF_CTES's ``q`` definition by
-    slicing it out (the label-based c/d CTEs are not used)."""
-    q_cte = _SQL_IVF_CTES.split(",\nd AS")[0]  # "q AS ( ... )"
+    -> cent{iters}, sharing similarity's quantized-vector CTE."""
     parts = [
-        q_cte,
+        _SQL_Q_CTE,
         f"""seeds AS (
   SELECT qv, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
                                 vec_id ASC) - 1 AS cid
