@@ -65,7 +65,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     not unigrams: the synthetic corpus shares one small vocabulary, so
     unigram sets saturate (everything looks like a near-dup); 3-grams
     discriminate (planted near-dups at Jaccard ~0.97, noise <= 0.02)."""
-    docs = load(spark, sf_dir, "documents").withColumn("ws", words(F.col("text"))).filter(
+    return shingles_of(load(spark, sf_dir, "documents"))
+
+
+def shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, w) distinct word-3-gram shingles of an arbitrary
+    (doc_id, text, ...) frame — the reusable core of ``_doc_shingles``,
+    so incremental consumers can shingle ONLY a delta batch."""
+    docs = docs.withColumn("ws", words(F.col("text"))).filter(
         F.size(F.col("ws")) >= JACCARD_NGRAM
     )
     shingle = F.transform(
@@ -140,7 +147,13 @@ SELECT user_id, event_type, event_id FROM (
 # MinHash signatures + LSH candidate pairs
 # ---------------------------------------------------------------------------
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dw = _doc_shingles(spark, sf_dir).withColumn("wh", word_hash(F.col("w")))
+    return signatures_of(_doc_shingles(spark, sf_dir))
+
+
+def signatures_of(doc_shingles: DataFrame) -> DataFrame:
+    """(doc_id, w) shingles -> k-minhash signature row per doc. One
+    narrow shuffle with map-side partial min."""
+    dw = doc_shingles.withColumn("wh", word_hash(F.col("w")))
     aggs = [
         F.min((F.lit(a) * F.col("wh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -164,13 +177,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_SIGNATURES = _sql_signatures()
 
 
-def _lsh_candidates(sigs: DataFrame) -> DataFrame:
-    """MinHash signatures -> distinct candidate (doc_a, doc_b) pairs that
-    share at least one LSH band bucket. The classic banding plan: only
-    (band_idx, band_key, doc_id) triples shuffle — never text — and the
-    self-join is hash-partitioned on the bucket key, so candidate volume
-    is ~O(true near-dups), not O(n^2)."""
-    bands = sigs.select(
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """Signature row -> (doc_id, band_idx, band_key) LSH band rows
+    (bands of 2 adjacent signatures). This is the standing-index shape a
+    nightly pipeline persists: narrow, text-free, hash-joinable."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -186,6 +197,15 @@ def _lsh_candidates(sigs: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """MinHash signatures -> distinct candidate (doc_a, doc_b) pairs that
+    share at least one LSH band bucket. The classic banding plan: only
+    (band_idx, band_key, doc_id) triples shuffle — never text — and the
+    self-join is hash-partitioned on the bucket key, so candidate volume
+    is ~O(true near-dups), not O(n^2)."""
+    bands = band_rows(sigs)
     return (
         bands.alias("x")
         .join(
@@ -251,6 +271,122 @@ WHERE {n_match} >= {LSH_MIN_MATCH}
 
 
 SQL_MINHASH_LSH_PAIRS = _sql_lsh_pairs()
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (nightly-crawl shape)
+# ---------------------------------------------------------------------------
+# The nightly batch is the top (1 - 4/5) of the doc_id range: cut =
+# ((max_id + 1) * 4) div 5 in exact integer math (identical in both
+# engines — no float in the split).
+INCR_NUM, INCR_DEN = 4, 5
+
+
+def incremental_lsh_match(delta_docs: DataFrame, standing_sigs: DataFrame) -> DataFrame:
+    """LSH-match ONLY a new batch of documents against the standing
+    corpus — the nightly-crawl shape. Signatures and bands are computed
+    for the delta alone (feed ``delta_docs`` from
+    ``Catalog.read_delta`` so only the snapshot's added files are
+    scanned); the standing corpus contributes its PERSISTED signature
+    table — its text is never re-read, never re-shingled.
+
+    Returns (doc_a, doc_b, n_match, is_cross): every verified pair with
+    at least one new doc; ``is_cross`` marks standing-vs-new (False =
+    both docs are in tonight's batch).
+
+    Scale: new_bands is O(delta); the bucket join is hash-partitioned on
+    (band_idx, band_key) against the standing band index, so work per
+    night is O(delta + matches), independent of corpus size.
+    """
+    new_sigs = signatures_of(shingles_of(delta_docs))
+    new_bands = band_rows(new_sigs)
+    standing_bands = band_rows(standing_sigs)
+    all_bands = standing_bands.unionByName(new_bands)
+    pairs = (
+        all_bands.alias("x")
+        .join(
+            new_bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_a"),
+            F.greatest(F.col("x.doc_id"), F.col("y.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    all_sigs = standing_sigs.unionByName(new_sigs)
+    new_min = new_sigs.agg(F.min("doc_id").alias("first_new"))
+    a = all_sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(MINHASH_K)]
+    )
+    b = all_sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(MINHASH_K)]
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(MINHASH_K)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_match", n_match.cast("int"))
+        .filter(F.col("n_match") >= LSH_MIN_MATCH)
+        .join(F.broadcast(new_min))
+        .select(
+            "doc_a", "doc_b", "n_match", (F.col("doc_a") < F.col("first_new")).alias("is_cross")
+        )
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract mirror of ``incremental_lsh_match``: split ``documents``
+    deterministically at cut = ((max_id + 1) * 4) div 5 — ids >= cut are
+    "tonight's batch", ids < cut the standing corpus — and match only
+    the batch against standing + itself. The production path feeds the
+    delta from ``Catalog.read_delta`` and the standing side from a
+    persisted signature table (tests/test_incremental_dedup.py proves
+    only the added files are scanned)."""
+    docs = load(spark, sf_dir, "documents")
+    cut = docs.agg(
+        F.expr(f"CAST((max(doc_id) + 1) * {INCR_NUM} DIV {INCR_DEN} AS BIGINT)").alias("cut")
+    )
+    docs = docs.join(F.broadcast(cut))
+    standing_sigs = signatures_of(shingles_of(docs.filter(F.col("doc_id") < F.col("cut"))))
+    delta = docs.filter(F.col("doc_id") >= F.col("cut")).select("doc_id", "text")
+    return incremental_lsh_match(delta, standing_sigs)
+
+
+def _sql_dedup_incremental() -> str:
+    band_rows_sql = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, "
+        f"concat_ws('_', mh{2 * i}, mh{2 * i + 1}) AS band_key FROM sigs"
+        for i in range(LSH_BANDS)
+    )
+    n_match = " + ".join(
+        f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K)
+    )
+    return f"""
+WITH sigs AS ({_sql_signatures()}),
+bands AS ({band_rows_sql}),
+cut AS (SELECT CAST((max(doc_id) + 1) * {INCR_NUM} // {INCR_DEN} AS BIGINT) AS cut
+        FROM documents),
+pairs AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+         greatest(x.doc_id, y.doc_id) AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id <> y.doc_id, cut
+  WHERE y.doc_id >= cut.cut)
+SELECT doc_a, doc_b, CAST({n_match} AS INT) AS n_match,
+       doc_a < (SELECT cut FROM cut) AS is_cross
+FROM pairs JOIN sigs a ON pairs.doc_a = a.doc_id
+           JOIN sigs b ON pairs.doc_b = b.doc_id
+WHERE {n_match} >= {LSH_MIN_MATCH}
+"""
+
+
+SQL_DEDUP_INCREMENTAL = _sql_dedup_incremental()
 
 
 # ---------------------------------------------------------------------------
@@ -533,6 +669,7 @@ QUERIES = {
     "dedup_keepfirst_events": (q_dedup_keepfirst_events, SQL_DEDUP_KEEPFIRST_EVENTS),
     "dedup_minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
