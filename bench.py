@@ -62,6 +62,27 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_oracles(sf_dir: str) -> dict[str, float]:
+    """Wall-time every DuckDB oracle on the same parquet tables (VERDICT
+    r2 item 6): BASELINE.md has no external numbers, so the oracle's own
+    single-node seconds are the per-query baseline the artifact records —
+    bench.json gains a spark_vs_duckdb ratio column."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from swmaestro_crawler_spark.sources.testdata import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name, sql in entrymod.oracle_sql().items():
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3) -> dict:
     """Flagship crawl at bench scale; returns throughput facts.
 
@@ -133,6 +154,12 @@ def main() -> None:
     crawl["all_walls"] = [c["measured_wall_s"] for c in runs]
     queries["crawl_3round"] = crawl["measured_wall_s"]
 
+    oracle = run_oracles(sf_dir)
+    ratios = {
+        n: round(queries[n] / oracle[n], 2) for n in queries if oracle.get(n)
+    }
+    rs = sorted(ratios.values())
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "headline_suite_seconds",
@@ -142,6 +169,9 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
+        "oracle_queries": oracle,
+        "spark_vs_duckdb": ratios,
+        "spark_vs_duckdb_median": rs[len(rs) // 2] if rs else None,
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     scaling_path = os.path.join(bench_dir, "scaling.json")
@@ -155,6 +185,9 @@ def main() -> None:
     with open(os.path.join(bench_dir, "bench.json"), "w") as f:
         json.dump(out, f, indent=1)
     line = dict(out)
+    # compact stdout: per-query oracle detail lives in BENCH/bench.json
+    line.pop("oracle_queries", None)
+    line.pop("spark_vs_duckdb", None)
     if "scaling" in line:  # compact: full record lives in BENCH/bench.json
         line["scaling"] = {
             k: line["scaling"].get(k)

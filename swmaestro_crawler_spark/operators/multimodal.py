@@ -7,11 +7,13 @@ bytes: this module treats image/audio/video as opaque ``binary`` columns
 with a typed metadata struct, processed by Arrow-batched ``mapInPandas``
 stages.
 
-The sandbox has no image/audio libraries, so the DECODE step is stubbed:
-``decode_image_meta`` parses a deterministic fake header (our synthetic
-blobs) and raises ``NotImplementedError`` for real formats — the
-Spark-side plumbing (schema, batch shape, partitioning, UDF signature) is
-real and tested; swapping in Pillow/ffmpeg is a one-function change.
+``decode_image_meta`` handles real container formats by direct header
+parse (PNG IHDR, JPEG SOF scan, GIF logical screen — metadata decode
+needs no pixel codec) and probes for Pillow at import for anything else;
+the sandbox has no Pillow, so unknown formats raise the disclosed
+``NotImplementedError`` there. Synthetic ``SYNM`` blobs remain the
+deterministic test/oracle path. The Spark-side plumbing (schema, batch
+shape, partitioning, UDF signature) is identical for all formats.
 """
 
 from __future__ import annotations
@@ -62,13 +64,66 @@ def synth_blob(media_id: int, kind: str) -> bytes:
     return _MAGIC + bytes([ord(kind[0])]) + struct.pack("<HH", w, h) + body
 
 
+try:  # capability probe: Pillow is optional (absent in this container)
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - depends on environment
+    _PILImage = None
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _png_dims(blob: bytes) -> tuple[int, int]:
+    """PNG IHDR is mandatory-first: width/height are big-endian u32 at
+    fixed offsets 16/20 — no codec needed for metadata."""
+    if blob[12:16] != b"IHDR" or len(blob) < 24:
+        raise ValueError("malformed PNG: IHDR not first")
+    w, h = struct.unpack(">II", blob[16:24])
+    return int(w), int(h)
+
+
+def _jpeg_dims(blob: bytes) -> tuple[int, int]:
+    """Walk JPEG segment markers to the first SOFn (baseline/progressive
+    frame header): height/width are big-endian u16 at +5/+7."""
+    i = 2
+    while i + 9 < len(blob):
+        if blob[i] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker sync")
+        marker = blob[i + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+            return int(w), int(h)
+        seg_len = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        i += 2 + seg_len
+    raise ValueError("malformed JPEG: no SOF segment")
+
+
 def decode_image_meta(blob: bytes) -> tuple[int | None, int | None]:
-    """STUB decode: parses the synthetic header; real formats are not
-    implemented in this container (no Pillow/ffmpeg)."""
+    """Decode image dimensions from a blob. Real container formats (PNG,
+    JPEG, GIF) are parsed from their headers directly — metadata decode
+    needs no pixel codec; anything else falls back to Pillow when the
+    capability probe found it, else the synthetic ``SYNM`` test header.
+    Raises (NotImplementedError) only for an unknown format with no
+    Pillow — the disclosed sandbox limit, no longer the only path."""
     if blob[:4] == _MAGIC:
         w, h = struct.unpack("<HH", blob[5:9])
         return int(w), int(h)
-    raise NotImplementedError("real image decoding requires Pillow; synthetic header expected")
+    if blob[:8] == _PNG_MAGIC:
+        return _png_dims(blob)
+    if blob[:2] == b"\xff\xd8":
+        return _jpeg_dims(blob)
+    if blob[:6] in _GIF_MAGICS:
+        w, h = struct.unpack("<HH", blob[6:10])
+        return int(w), int(h)
+    if _PILImage is not None:
+        import io
+
+        with _PILImage.open(io.BytesIO(blob)) as im:
+            return int(im.width), int(im.height)
+    raise NotImplementedError(
+        "unknown image format and Pillow is unavailable; "
+        "PNG/JPEG/GIF headers and SYNM blobs decode natively"
+    )
 
 
 def media_table(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:

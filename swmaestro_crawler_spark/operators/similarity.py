@@ -59,15 +59,27 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_VECS = "SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings"
 
 
-def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact top-k by cosine for the first N_QUERIES vectors.
-    The cross join is broadcast (query side is tiny); rank ties broken by
-    neighbor id for determinism."""
+def q_ann_cosine_topk(
+    spark: SparkSession, sf_dir: str, broadcast_queries: bool | None = None
+) -> DataFrame:
+    """Brute-force exact top-k by cosine for the first N_QUERIES vectors —
+    the exactness baseline (O(n*q) disclosed; IVF in operators/kmeans.py
+    is the scale path). Rank ties broken by neighbor id for determinism.
+
+    Join strategy mirrors ivf_search: a small query side is broadcast;
+    above IVF_BROADCAST_QUERY_LIMIT the broadcast would ship the whole
+    query table to every executor, so the plan degrades to a partitioned
+    nested-loop sweep (queries repartitioned, corpus streamed)."""
+    from .kmeans import IVF_BROADCAST_QUERY_LIMIT
+
     vecs = _vecs(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+    if broadcast_queries is None:
+        broadcast_queries = queries.count() <= IVF_BROADCAST_QUERY_LIMIT
+    q_side = F.broadcast(queries) if broadcast_queries else queries
+    scored = vecs.join(q_side, F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         cosine(F.col("qv"), F.col("v")).alias("cos"),
