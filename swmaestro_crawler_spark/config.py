@@ -82,6 +82,11 @@ class CrawlConfig:
     synth_work_iters: int = 0        # CPU stand-in for real fetch+parse cost
                                      # (see sources/synth_web.parse_work)
 
+    # overlap round r's deferred bookkeeping (crawl_order/dead/metrics/
+    # lineage/checkpoint) with round r+1's fetch; False serializes rounds
+    # (plans/crawl.py Crawl.run)
+    overlap_bookkeeping: bool = True
+
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
     """SparkSession builder with the engine's standard conf.

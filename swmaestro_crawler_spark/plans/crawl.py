@@ -29,7 +29,13 @@ from ..functions.canonical import with_canonical
 from ..operators.politeness import synth_robots
 from ..operators.seen import empty_bloom
 from ..schema import FRONTIER, ROBOTS
-from .round import FRONTIER_COLS, RoundResult, _part_by_hash, run_round
+from .round import (
+    FRONTIER_COLS,
+    RoundResult,
+    _part_by_hash,
+    finish_round,
+    run_round_critical,
+)
 
 TABLES = ("pending", "seen", "spans", "dead", "crawl_order", "metrics", "robots", "fetched", "lineage")
 
@@ -66,11 +72,21 @@ class Crawl:
     def _bloom_path(self, r: int) -> str:
         return os.path.join(self.cat.warehouse, f"bloom-r{r}.npy")
 
-    def _write_checkpoint(self, r: int, bloom: np.ndarray) -> None:
+    def _write_checkpoint(
+        self, r: int, bloom: np.ndarray, sids: dict[str, int] | None = None
+    ) -> None:
+        """``sids`` pins per-table snapshot ids AS OF round r — required
+        when the round's deferred bookkeeping overlaps the next round
+        (current_snapshot would already be round r+1's); tables absent
+        from sids fall back to current (bootstrap/requeue paths, where
+        nothing runs concurrently)."""
+        sids = sids or {}
         np.save(self._bloom_path(r), bloom)
         ckpt = {
             "round": r,
-            "snapshots": {t: self.cat.current_snapshot(t) for t in TABLES},
+            "snapshots": {
+                t: sids.get(t, self.cat.current_snapshot(t)) for t in TABLES
+            },
             "bloom": os.path.basename(self._bloom_path(r)),
         }
         tmp = self._ckpt_path + ".tmp"
@@ -162,16 +178,39 @@ class Crawl:
         return n
 
     def run(self, seeds: DataFrame, rounds: int | None = None) -> list[RoundResult]:
-        """Run (or resume) the crawl for up to ``rounds`` rounds."""
+        """Run (or resume) the crawl for up to ``rounds`` rounds.
+
+        Round r's DEFERRED bookkeeping (crawl_order, dead, metrics,
+        lineage, checkpoint — none of which round r+1 consumes) overlaps
+        round r+1's fetch (VERDICT r2 item 5): the critical phase
+        returns as soon as pending/seen/bloom are committed, and a
+        single-worker executor finishes rounds strictly in order, so
+        checkpoints are written oldest-first from each round's CAPTURED
+        snapshot ids and a kill can only lose the (deterministically
+        re-runnable) newest rounds. Set cfg.overlap_bookkeeping=False to
+        serialize (the pre-overlap behavior)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         rounds = rounds if rounds is not None else self.cfg.max_rounds
         start, bloom = self.resume_or_bootstrap(seeds)
         robots = self.cat.read("robots", ROBOTS)
-        results: list[RoundResult] = []
-        for r in range(start, rounds):
-            if self.cat.row_count("pending") == 0:
-                break  # frontier drained — reference: queue len == 0 (the
-                # count comes from parquet footers, no Spark job)
-            res = run_round(self.spark, self.cat, self.cfg, r, robots, bloom)
-            self._write_checkpoint(r, bloom)
-            results.append(res)
-        return results
+
+        def _finish(h) -> RoundResult:
+            res = finish_round(self.cat, h)
+            self._write_checkpoint(h.round, h.bloom, h.sids)
+            return res
+
+        futures = []
+        with ThreadPoolExecutor(max_workers=1, thread_name_prefix="bk-finish") as fin:
+            for r in range(start, rounds):
+                if self.cat.row_count("pending") == 0:
+                    break  # frontier drained — reference: queue len == 0
+                    # (footer stats; pending was committed by the prior
+                    # round's CRITICAL phase, so no wait is needed)
+                h = run_round_critical(self.spark, self.cat, self.cfg, r, robots, bloom)
+                if self.cfg.overlap_bookkeeping:
+                    futures.append(fin.submit(_finish, h))
+                else:
+                    futures.append(fin.submit(_finish, h))
+                    futures[-1].result()
+            return [f.result() for f in futures]

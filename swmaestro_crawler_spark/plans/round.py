@@ -131,6 +131,26 @@ class RoundResult:
     timings: dict | None = None  # per-stage wall seconds (_StepTimer)
 
 
+@dataclass
+class RoundHandle:
+    """Everything ``finish_round`` needs after ``run_round_critical``
+    returned: eager-bound DataFrame refs into the round's scratch/cached
+    state, the snapshot ids committed so far, and a frozen copy of the
+    bloom as of this round (the caller's array keeps mutating)."""
+
+    round: int
+    cfg: CrawlConfig
+    bloom: np.ndarray
+    sids: dict[str, int]
+    fetched: DataFrame
+    failed: DataFrame
+    excluded: DataFrame
+    unseen: DataFrame
+    robots_joined: DataFrame
+    retry_base: DataFrame
+    tm: _StepTimer
+
+
 def run_round(
     spark: SparkSession,
     cat: Catalog,
@@ -139,6 +159,32 @@ def run_round(
     robots: DataFrame,
     bloom: np.ndarray,
 ) -> RoundResult:
+    """One full round, synchronous: critical phase + finish. The crawl
+    driver instead overlaps ``finish_round(r)`` with round r+1's fetch
+    (plans/crawl.py) when cfg.overlap_bookkeeping is on."""
+    return finish_round(cat, run_round_critical(spark, cat, cfg, r, robots, bloom))
+
+
+def run_round_critical(
+    spark: SparkSession,
+    cat: Catalog,
+    cfg: CrawlConfig,
+    r: int,
+    robots: DataFrame,
+    bloom: np.ndarray,
+) -> RoundHandle:
+    """The NEXT-ROUND-BLOCKING part of a round: fetch + span commit, then
+    the three bookkeeping commits round r+1's own pipeline consumes —
+    ``pending`` (its frontier), ``seen`` and the bloom increment (its
+    unseen filter). Everything else (crawl_order, dead letters, counts,
+    metrics, lineage, checkpoint) only observes round-r state and is
+    deferred to ``finish_round``, which the driver overlaps with round
+    r+1's fetch (VERDICT r2 item 5: bookkeeping stage-scaled at 0.546 —
+    fixed per-commit driver latency; hidden under the next fetch it
+    leaves the critical path entirely).
+
+    ``bloom`` is merged IN PLACE (round r+1 needs it); the handle keeps
+    a frozen copy for round r's checkpoint."""
     tm = _StepTimer()
     tm.step("read+plan")
     pending = cat.read("pending", FRONTIER)
@@ -189,7 +235,7 @@ def run_round(
     #    and a row-filter predicate (ok only; the Iceberg delete-file
     #    analogue). No bytes are rewritten.
     tm.step("spans_write")
-    cat.append_files(
+    sid_spans = cat.append_files(
         "spans",
         "fetched",
         sid_fetch,
@@ -198,41 +244,16 @@ def run_round(
         row_filter="ok",
     )
 
-    # 7-11. BOOKKEEPING — independent Spark jobs run CONCURRENTLY from
-    #    driver threads (VERDICT r1 task 1: these commits measured 0.40
-    #    stage-scaling when run serially — each small job pays a fixed
-    #    driver/scheduling latency that does not shrink with cores, so
-    #    serial bookkeeping caps N->4N efficiency; overlapped, the fixed
-    #    latencies coincide instead of adding). Every job reads only the
+    # 7-9. CRITICAL bookkeeping — the three commits round r+1's own
+    #    pipeline consumes (pending = its frontier; seen + bloom = its
+    #    unseen filter), run CONCURRENTLY from driver threads (VERDICT
+    #    r1 task 1: serial small commits each pay a fixed
+    #    driver/scheduling latency that does not shrink with cores;
+    #    overlapped, the latencies coincide). Every job reads only the
     #    committed fetch scratch or round-start state and writes its OWN
     #    table (separate manifest files -> commit isolation), so
     #    concurrency cannot change any output byte: each write keeps its
-    #    deterministic repartition+sortWithinPartitions layout, and the
-    #    checkpoint is taken only after all futures join.
-    def job_order() -> int:
-        # crawl-order log — the judge-replayable total order. ord is the
-        # dense rank over the PRIORITY key within the round, computed by
-        # the scalable range-sort + prefix-offset rank (no single-reducer
-        # window); partition ids follow key order, so the written files
-        # are globally ord-sorted. Reads only the flat key columns
-        # (column pruning hits the scratch parquet).
-        ranked, ranked_handle = with_global_ord(
-            fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
-            priority_order(),
-            cfg.frontier_partitions,
-        )
-        order_rows = ranked.select(
-            F.lit(r).cast("int").alias("round"),
-            F.col("ord"),
-            "url",
-            "host",
-            "depth",
-            "ok",
-        )
-        sid = cat.append("crawl_order", order_rows, meta={"round": r})
-        ranked_handle.unpersist()
-        return sid
-
+    #    deterministic repartition+sortWithinPartitions layout.
     def job_seen() -> int:
         # seen tier exact-table update; one row per fetched-ok URL, so
         # this commit's rows_delta IS ok_n (no separate count job)
@@ -262,32 +283,6 @@ def run_round(
         "round", F.lit(r + 1).cast("int")
     )
     retries = retry_base.filter(F.col("attempt") < cfg.max_attempts).select(*FRONTIER_COLS)
-
-    def job_dead() -> int:
-        dead_fetch = (
-            retry_base.filter(F.col("attempt") >= cfg.max_attempts)
-            .select(*FRONTIER_COLS)
-            .withColumn("reason", F.lit("max_attempts"))
-            .withColumn("dead_round", F.lit(r).cast("int"))
-        )
-        dead_fatal = (
-            failed.filter(F.col("status_code") != 500)
-            .withColumn(
-                "reason", F.concat(F.lit("fatal_"), F.col("status_code").cast("string"))
-            )
-            .select(*FRONTIER_COLS, "reason")
-            .withColumn("dead_round", F.lit(r).cast("int"))
-        )
-        dead_robots = (
-            excluded.select(*FRONTIER_COLS)
-            .withColumn("reason", F.lit("robots"))
-            .withColumn("dead_round", F.lit(r).cast("int"))
-        )
-        return cat.append(
-            "dead",
-            _part_by_hash(dead_robots.unionByName(dead_fetch).unionByName(dead_fatal), 1),
-            meta={"round": r},
-        )
 
     def job_pending() -> int:
         # frontier expansion: outlinks -> next round's pending rows.
@@ -356,31 +351,130 @@ def run_round(
         ).sortWithinPartitions("url_hash", "attempt", "depth", "seq", "parent")
         return cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
 
-    def job_counts() -> tuple[int, int]:
-        # two O(1) counts on cached intermediates (robots_joined/unseen)
-        return excluded.count(), unseen.count()
-
-    tm.step("bookkeeping_parallel")
+    tm.step("bookkeeping_critical")
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6, thread_name_prefix=f"bk-r{r}") as ex:
+    with ThreadPoolExecutor(max_workers=3, thread_name_prefix=f"bkc-r{r}") as ex:
         futs = {
             name: ex.submit(fn)
             for name, fn in (
-                ("order", job_order),
                 ("seen", job_seen),
                 ("bloom", job_bloom),
-                ("dead", job_dead),
                 ("pending", job_pending),
-                ("counts", job_counts),
             )
         }
-        sid_order = futs["order"].result()
         sid_seen = futs["seen"].result()
-        sid_dead = futs["dead"].result()
         sid_pending = futs["pending"].result()
-        excluded_n, unseen_n = futs["counts"].result()
         bloom |= futs["bloom"].result()
+
+    # opens the interval finish_round closes: with overlap on, it
+    # measures how long round-r bookkeeping waited behind round r+1's
+    # fetch before the deferred jobs started
+    tm.step("deferred_wait")
+    return RoundHandle(
+        round=r,
+        cfg=cfg,
+        bloom=bloom.copy(),
+        sids={
+            "fetched": sid_fetch,
+            "spans": sid_spans,
+            "seen": sid_seen,
+            "pending": sid_pending,
+            "robots": cat.current_snapshot("robots"),
+        },
+        fetched=fetched,
+        failed=failed,
+        excluded=excluded,
+        unseen=unseen,
+        robots_joined=robots_joined,
+        retry_base=retry_base,
+        tm=tm,
+    )
+
+
+def finish_round(cat: Catalog, h: RoundHandle) -> RoundResult:
+    """Deferred round-r bookkeeping: crawl_order, dead letters, counts,
+    metrics, lineage. Reads ONLY round-r state — the scratch table read
+    was file-bound eagerly (a later round's ``fetched`` overwrite writes
+    new files and old ones are retained) and the cached intermediates
+    (robots_joined/unseen) belong to this round — and writes only tables
+    no critical phase touches, so the driver may run it CONCURRENTLY
+    with round r+1's fetch. The round checkpoint is written by the
+    caller after this returns, from ``h.sids`` (NOT current snapshots —
+    round r+2 may already have committed)."""
+    r, cfg, tm = h.round, h.cfg, h.tm
+    fetched, failed, excluded = h.fetched, h.failed, h.excluded
+
+    def job_order() -> int:
+        # crawl-order log — the judge-replayable total order. ord is the
+        # dense rank over the PRIORITY key within the round, computed by
+        # the scalable range-sort + prefix-offset rank (no single-reducer
+        # window); partition ids follow key order, so the written files
+        # are globally ord-sorted. Reads only the flat key columns
+        # (column pruning hits the scratch parquet).
+        ranked, ranked_handle = with_global_ord(
+            fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
+            priority_order(),
+            cfg.frontier_partitions,
+        )
+        order_rows = ranked.select(
+            F.lit(r).cast("int").alias("round"),
+            F.col("ord"),
+            "url",
+            "host",
+            "depth",
+            "ok",
+        )
+        sid = cat.append("crawl_order", order_rows, meta={"round": r})
+        ranked_handle.unpersist()
+        return sid
+
+    def job_dead() -> int:
+        # retries + dead letters (at-least-once semantics; reference
+        # nack -> dead queue,
+        # New_YouTube_Crawler_Channel_Updater.py:41-46)
+        dead_fetch = (
+            h.retry_base.filter(F.col("attempt") >= cfg.max_attempts)
+            .select(*FRONTIER_COLS)
+            .withColumn("reason", F.lit("max_attempts"))
+            .withColumn("dead_round", F.lit(r).cast("int"))
+        )
+        dead_fatal = (
+            failed.filter(F.col("status_code") != 500)
+            .withColumn(
+                "reason", F.concat(F.lit("fatal_"), F.col("status_code").cast("string"))
+            )
+            .select(*FRONTIER_COLS, "reason")
+            .withColumn("dead_round", F.lit(r).cast("int"))
+        )
+        dead_robots = (
+            excluded.select(*FRONTIER_COLS)
+            .withColumn("reason", F.lit("robots"))
+            .withColumn("dead_round", F.lit(r).cast("int"))
+        )
+        return cat.append(
+            "dead",
+            _part_by_hash(dead_robots.unionByName(dead_fetch).unionByName(dead_fatal), 1),
+            meta={"round": r},
+        )
+
+    def job_counts() -> tuple[int, int]:
+        # two O(1) counts on cached intermediates (robots_joined/unseen)
+        return excluded.count(), h.unseen.count()
+
+    tm.step("bookkeeping_deferred")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3, thread_name_prefix=f"bkd-r{r}") as ex:
+        futs = {
+            name: ex.submit(fn)
+            for name, fn in (("order", job_order), ("dead", job_dead), ("counts", job_counts))
+        }
+        sid_order = futs["order"].result()
+        sid_dead = futs["dead"].result()
+        excluded_n, unseen_n = futs["counts"].result()
+    h.sids["crawl_order"] = sid_order
+    h.sids["dead"] = sid_dead
 
     # metrics + per-partition lineage. Every count is DERIVED — from
     # parquet footer stats recorded at commit time (rows_delta: the seen
@@ -388,6 +482,9 @@ def run_round(
     # two cached counts above — the metrics step runs no further Spark
     # job over round data and writes via a direct pyarrow commit.
     tm.step("metrics_counts")
+    sid_fetch = h.sids["fetched"]
+    sid_seen = h.sids["seen"]
+    sid_pending = h.sids["pending"]
     admitted_n = cat.rows_delta("fetched", sid_fetch)
     ok_n = cat.rows_delta("seen", sid_seen)
     failed_n = admitted_n - ok_n
@@ -405,7 +502,7 @@ def run_round(
         "pending_next": pending_next_n,
     }
     tm.step("metrics_write")
-    cat.append_rows(
+    h.sids["metrics"] = cat.append_rows(
         "metrics",
         [("round", str(r), k, int(v), r) for k, v in counts.items()],
         METRICS,
@@ -425,9 +522,9 @@ def run_round(
         )
         for pid, n in enumerate(cat.file_rows(stage, sid))
     ]
-    cat.append_rows("lineage", lineage_rows, LINEAGE, meta={"round": r})
+    h.sids["lineage"] = cat.append_rows("lineage", lineage_rows, LINEAGE, meta={"round": r})
     tm.done()
-    for handle in (unseen, robots_joined):
+    for handle in (h.unseen, h.robots_joined):
         handle.unpersist()
 
     return RoundResult(
