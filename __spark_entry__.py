@@ -59,6 +59,7 @@ def _all_modules():
         dedup,
         kmeans,
         multimodal,
+        packing,
         relational,
         similarity,
         text_analysis,
@@ -71,6 +72,7 @@ def _all_modules():
         text_analysis,
         similarity,
         kmeans,
+        packing,
         multimodal,
         html_extract,
         stream_metrics,

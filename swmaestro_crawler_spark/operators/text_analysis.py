@@ -275,6 +275,46 @@ SELECT doc_id, lang, source, CAST(rn AS INT) AS rn FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus length quantiles per language — nearest-rank (type-1) selection:
+# value at row ceil(p*n/100) of the (n_chars, doc_id)-sorted group. All
+# integer math (rank = (n*p + 99) div 100), so the result is engine-exact
+# — no interpolation semantics to align between Spark percentile and
+# DuckDB quantile_cont. The per-lang window is disclosed: groups are
+# language-sized; at extreme per-group volume swap the exact selection
+# for approx_percentile's sketch (same output schema).
+# ---------------------------------------------------------------------------
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = (
+        load(spark, sf_dir, "documents")
+        .select("lang", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+    )
+    pcts = F.explode(F.array(*[F.lit(p) for p in QUANTILE_PCTS])).alias("pct")
+    return (
+        ranked.select("lang", "n_chars", "rn", "n", pcts)
+        .filter(F.col("rn") == F.expr("(n * pct + 99) DIV 100"))
+        .select("lang", "pct", F.col("n_chars").alias("value"))
+    )
+
+
+SQL_LENGTH_QUANTILES = f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, pct, n_chars AS value
+FROM ranked, (SELECT unnest([{", ".join(str(p) for p in QUANTILE_PCTS)}]) AS pct) p
+WHERE rn = (n * pct + 99) // 100
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -284,4 +324,5 @@ QUERIES = {
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "corpus_curation_pipeline": (q_corpus_curation, SQL_CORPUS_CURATION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "corpus_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
 }

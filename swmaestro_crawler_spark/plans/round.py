@@ -134,20 +134,21 @@ class RoundResult:
 @dataclass
 class RoundHandle:
     """Everything ``finish_round`` needs after ``run_round_critical``
-    returned: eager-bound DataFrame refs into the round's scratch/cached
-    state, the snapshot ids committed so far, and a frozen copy of the
-    bloom as of this round (the caller's array keeps mutating)."""
+    returned: the still-running deferred-job futures (all SIX bookkeeping
+    jobs were launched together — full r2-style concurrency — but only
+    the three the next round consumes were joined), the executor to shut
+    down, the snapshot ids committed so far, the cached frames to
+    unpersist, and a frozen copy of the bloom as of this round (the
+    caller's array keeps mutating)."""
 
     round: int
     cfg: CrawlConfig
     bloom: np.ndarray
     sids: dict[str, int]
-    fetched: DataFrame
-    failed: DataFrame
-    excluded: DataFrame
+    futures: dict  # name -> Future: order, dead, counts (still running)
+    executor: object  # ThreadPoolExecutor to shut down in finish_round
     unseen: DataFrame
     robots_joined: DataFrame
-    retry_base: DataFrame
     tm: _StepTimer
 
 
@@ -351,60 +352,6 @@ def run_round_critical(
         ).sortWithinPartitions("url_hash", "attempt", "depth", "seq", "parent")
         return cat.overwrite("pending", pending_sorted, meta={"round": r + 1})
 
-    tm.step("bookkeeping_critical")
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3, thread_name_prefix=f"bkc-r{r}") as ex:
-        futs = {
-            name: ex.submit(fn)
-            for name, fn in (
-                ("seen", job_seen),
-                ("bloom", job_bloom),
-                ("pending", job_pending),
-            )
-        }
-        sid_seen = futs["seen"].result()
-        sid_pending = futs["pending"].result()
-        bloom |= futs["bloom"].result()
-
-    # opens the interval finish_round closes: with overlap on, it
-    # measures how long round-r bookkeeping waited behind round r+1's
-    # fetch before the deferred jobs started
-    tm.step("deferred_wait")
-    return RoundHandle(
-        round=r,
-        cfg=cfg,
-        bloom=bloom.copy(),
-        sids={
-            "fetched": sid_fetch,
-            "spans": sid_spans,
-            "seen": sid_seen,
-            "pending": sid_pending,
-            "robots": cat.current_snapshot("robots"),
-        },
-        fetched=fetched,
-        failed=failed,
-        excluded=excluded,
-        unseen=unseen,
-        robots_joined=robots_joined,
-        retry_base=retry_base,
-        tm=tm,
-    )
-
-
-def finish_round(cat: Catalog, h: RoundHandle) -> RoundResult:
-    """Deferred round-r bookkeeping: crawl_order, dead letters, counts,
-    metrics, lineage. Reads ONLY round-r state — the scratch table read
-    was file-bound eagerly (a later round's ``fetched`` overwrite writes
-    new files and old ones are retained) and the cached intermediates
-    (robots_joined/unseen) belong to this round — and writes only tables
-    no critical phase touches, so the driver may run it CONCURRENTLY
-    with round r+1's fetch. The round checkpoint is written by the
-    caller after this returns, from ``h.sids`` (NOT current snapshots —
-    round r+2 may already have committed)."""
-    r, cfg, tm = h.round, h.cfg, h.tm
-    fetched, failed, excluded = h.fetched, h.failed, h.excluded
-
     def job_order() -> int:
         # crawl-order log — the judge-replayable total order. ord is the
         # dense rank over the PRIORITY key within the round, computed by
@@ -434,7 +381,7 @@ def finish_round(cat: Catalog, h: RoundHandle) -> RoundResult:
         # nack -> dead queue,
         # New_YouTube_Crawler_Channel_Updater.py:41-46)
         dead_fetch = (
-            h.retry_base.filter(F.col("attempt") >= cfg.max_attempts)
+            retry_base.filter(F.col("attempt") >= cfg.max_attempts)
             .select(*FRONTIER_COLS)
             .withColumn("reason", F.lit("max_attempts"))
             .withColumn("dead_round", F.lit(r).cast("int"))
@@ -460,19 +407,73 @@ def finish_round(cat: Catalog, h: RoundHandle) -> RoundResult:
 
     def job_counts() -> tuple[int, int]:
         # two O(1) counts on cached intermediates (robots_joined/unseen)
-        return excluded.count(), h.unseen.count()
+        return excluded.count(), unseen.count()
 
-    tm.step("bookkeeping_deferred")
+    # ALL SIX bookkeeping jobs launch together (full r2-style
+    # concurrency — their fixed driver latencies coincide), but only the
+    # three round r+1 consumes are JOINED here; the other three keep
+    # running and finish_round collects them — with overlap on, under
+    # round r+1's fetch.
+    tm.step("bookkeeping_critical")
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3, thread_name_prefix=f"bkd-r{r}") as ex:
-        futs = {
-            name: ex.submit(fn)
-            for name, fn in (("order", job_order), ("dead", job_dead), ("counts", job_counts))
-        }
-        sid_order = futs["order"].result()
-        sid_dead = futs["dead"].result()
-        excluded_n, unseen_n = futs["counts"].result()
+    ex = ThreadPoolExecutor(max_workers=6, thread_name_prefix=f"bk-r{r}")
+    futs = {
+        name: ex.submit(fn)
+        for name, fn in (
+            ("seen", job_seen),
+            ("bloom", job_bloom),
+            ("pending", job_pending),
+            ("order", job_order),
+            ("dead", job_dead),
+            ("counts", job_counts),
+        )
+    }
+    sid_seen = futs["seen"].result()
+    sid_pending = futs["pending"].result()
+    bloom |= futs["bloom"].result()
+
+    # opens the interval finish_round closes: with overlap on, it
+    # measures how long the still-running deferred jobs trail the
+    # critical phase (they overlap round r+1's fetch)
+    tm.step("deferred_wait")
+    return RoundHandle(
+        round=r,
+        cfg=cfg,
+        bloom=bloom.copy(),
+        sids={
+            "fetched": sid_fetch,
+            "spans": sid_spans,
+            "seen": sid_seen,
+            "pending": sid_pending,
+            "robots": cat.current_snapshot("robots"),
+        },
+        futures={k: futs[k] for k in ("order", "dead", "counts")},
+        executor=ex,
+        unseen=unseen,
+        robots_joined=robots_joined,
+        tm=tm,
+    )
+
+
+def finish_round(cat: Catalog, h: RoundHandle) -> RoundResult:
+    """Joins the deferred round-r bookkeeping (crawl_order, dead letters,
+    counts — already running since the critical phase) and derives
+    metrics + lineage. The deferred jobs read ONLY round-r state — the
+    scratch table read was file-bound eagerly (a later round's
+    ``fetched`` overwrite writes new files and old ones are retained)
+    and the cached intermediates (robots_joined/unseen) belong to this
+    round — and write only tables no critical phase touches, so they run
+    CONCURRENTLY with round r+1's fetch. The round checkpoint is written
+    by the caller after this returns, from ``h.sids`` (NOT current
+    snapshots — round r+2 may already have committed)."""
+    r, tm = h.round, h.tm
+
+    tm.step("bookkeeping_deferred")
+    sid_order = h.futures["order"].result()
+    sid_dead = h.futures["dead"].result()
+    excluded_n, unseen_n = h.futures["counts"].result()
+    h.executor.shutdown(wait=False)
     h.sids["crawl_order"] = sid_order
     h.sids["dead"] = sid_dead
 
