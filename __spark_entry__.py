@@ -56,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _all_modules():
     from swmaestro_crawler_spark.functions import html_extract
     from swmaestro_crawler_spark.operators import (
+        curation,
         dedup,
         kmeans,
         multimodal,
@@ -70,6 +71,7 @@ def _all_modules():
         relational,
         dedup,
         text_analysis,
+        curation,
         similarity,
         kmeans,
         packing,

@@ -1,0 +1,292 @@
+"""Corpus-curation operators beyond dedup: benchmark decontamination,
+duplicate-ngram span detection, repetition quality flags, and
+domain-mixture sampling.
+
+Engine-new training-data capabilities (the reference stops at per-page
+scraping; these are the corpus-assembly steps a 100 TB crawl feeds):
+
+- **Benchmark decontamination** (GPT-3 appendix C / Dolma style): flag
+  corpus documents sharing any word n-gram with a held-out benchmark
+  set. The benchmark's n-gram fingerprint set is small by nature
+  (benchmarks are ~10^5 docs), so it is BROADCAST to the corpus scan —
+  the 100-TB side never shuffles its text, only (doc_id, gh) survivors
+  of the broadcast-hash probe reach the count aggregation.
+- **Duplicate n-gram spans** (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better"): the distributed stand-in for a
+  suffix-array scan — every W-word window is rolling-hashed, windows
+  whose hash occurs in >=2 distinct docs are duplicated spans. Only
+  (doc_id, pos, gh) tuples shuffle (never text); the dup-hash set is
+  produced by one map-side-combinable groupBy and joined back with a
+  plain shuffle hash join, both keyed on the 32-bit gh — uniform by
+  construction, no skew.
+- **Repetition flags** (Gopher / Rae et al. 2021 quality rules): the
+  top-bigram fraction per document. Per-doc windows are tiny (docs are
+  the unit of parallelism), so the per-doc row_number window shuffles
+  once on doc_id.
+- **Domain-mixture sampling**: deterministic hash-threshold sampling to
+  a per-source keep rate — the mixture-weighting step of corpus
+  assembly. Pure map-side predicate + one groupBy(source); reproducible
+  across engines, runs, and partitionings (no random draw).
+
+All plans are whole-stage-codegen Column expressions; DuckDB oracle
+twins are built from the same constants so the two cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from ..functions.text import SQL_WORD_HASH, SQL_WORDS, word_hash, words
+from ..sources.testdata import load
+
+# ---------------------------------------------------------------------------
+# shared kernel: position-preserving word n-gram windows
+# ---------------------------------------------------------------------------
+
+
+def ngram_windows(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, pos, g): every word n-gram window of ``text``, one row
+    per position (duplicates kept — unlike dedup.shingles_of, which
+    dedups because MinHash is set-semantics; span detection needs
+    positions)."""
+    docs = docs.withColumn("ws", words(F.col("text"))).filter(F.size("ws") >= n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("ws")) - n),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("ws"), (i + j + 1).cast("int")) for j in range(n)],
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+
+
+def _sql_ngram_windows(n: int) -> str:
+    ws = SQL_WORDS.format(c="text")
+    parts = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return f"""
+SELECT doc_id, CAST(x.pos AS INT) AS pos, x.g AS g
+FROM (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
+           i -> {{'pos': i - 1, 'g': {parts}}})) AS x
+  FROM (SELECT doc_id, {ws} AS ws FROM documents)
+  WHERE len(ws) >= {n})"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+DECONTAM_NGRAM = 5
+DECONTAM_MOD = 23  # doc is "benchmark" iff word_hash(doc_id) % 23 == 0 (~4%)
+
+_SQL_IS_BENCH = f"({SQL_WORD_HASH.format(c='CAST(doc_id AS VARCHAR)')} % {DECONTAM_MOD} = 0)"
+
+
+def _is_bench(doc_id: Column) -> Column:
+    return word_hash(doc_id.cast("string")) % DECONTAM_MOD == 0
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per non-benchmark doc: how many distinct 5-gram hashes it shares
+    with the benchmark slice, plus the contaminated flag. The benchmark
+    n-gram set is broadcast (disclosed bound: benchmarks are ~10^5 docs
+    * ~10^3 grams * 8 B ≈ 1 GB worst-case — above that, drop the
+    F.broadcast hint and let AQE pick; semantics unchanged)."""
+    d = load(spark, sf_dir, "documents")
+    g = (
+        ngram_windows(d, DECONTAM_NGRAM)
+        .select("doc_id", word_hash(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    bench_g = g.filter(_is_bench(F.col("doc_id"))).select("gh").distinct()
+    hits = (
+        g.filter(~_is_bench(F.col("doc_id")))
+        .join(F.broadcast(bench_g), "gh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gh").alias("n_shared"))
+    )
+    return (
+        d.filter(~_is_bench(F.col("doc_id")))
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0).cast("long")))
+        .select(
+            "doc_id",
+            "n_shared",
+            (F.col("n_shared") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, {SQL_WORD_HASH.format(c='g')} AS gh
+  FROM ({_sql_ngram_windows(DECONTAM_NGRAM)})),
+bench AS (SELECT DISTINCT gh FROM g WHERE {_SQL_IS_BENCH}),
+hits AS (
+  SELECT doc_id, CAST(count(DISTINCT gh) AS BIGINT) AS n_shared
+  FROM g JOIN bench USING (gh)
+  WHERE NOT {_SQL_IS_BENCH}
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(h.n_shared, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE NOT {_SQL_IS_BENCH}
+"""
+
+
+# ---------------------------------------------------------------------------
+# duplicate n-gram spans (suffix-array-style substring dedup, hashed)
+# ---------------------------------------------------------------------------
+DUPSPAN_NGRAM = 8
+
+
+def q_dupspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: total 8-word windows and how many are duplicated spans
+    (window hash present in >=2 DISTINCT docs). Text never shuffles —
+    the window table is (doc_id, gh), the dup set one groupBy(gh)."""
+    w = ngram_windows(load(spark, sf_dir, "documents"), DUPSPAN_NGRAM).select(
+        "doc_id", word_hash(F.col("g")).alias("gh")
+    )
+    dup = (
+        w.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh", F.lit(1).alias("isdup"))
+    )
+    per = (
+        w.join(dup, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("isdup", F.lit(0))).alias("n_dup_windows"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
+    )
+
+
+SQL_DUPSPAN = f"""
+WITH w AS (
+  SELECT doc_id, {SQL_WORD_HASH.format(c='g')} AS gh
+  FROM ({_sql_ngram_windows(DUPSPAN_NGRAM)})),
+dup AS (
+  SELECT gh, 1 AS isdup FROM w GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(coalesce(isdup, 0)) AS BIGINT) AS n_dup_windows
+  FROM w LEFT JOIN dup USING (gh)
+  GROUP BY doc_id)
+SELECT doc_id, n_windows, n_dup_windows,
+       round(n_dup_windows::DOUBLE / n_windows, 4) AS dup_frac
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition flag: top-bigram fraction (Gopher rule family)
+# ---------------------------------------------------------------------------
+
+
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: bigram total, the most frequent bigram (ties broken
+    lexicographically so the cut is a total order), its count, and its
+    fraction of all bigrams — the Gopher duplicate-2-gram filter."""
+    cnt = (
+        ngram_windows(load(spark, sf_dir, "documents"), 2)
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("g").asc())
+    tot = Window.partitionBy("doc_id")
+    return (
+        cnt.withColumn("rn", F.row_number().over(win))
+        .withColumn("n_bigrams", F.sum("n").over(tot))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("g").alias("top_bigram"),
+            F.col("n").alias("top_n"),
+            F.round(F.col("n") / F.col("n_bigrams"), 4).alias("top_frac"),
+        )
+    )
+
+
+SQL_TOP_BIGRAM = f"""
+WITH cnt AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n
+  FROM ({_sql_ngram_windows(2)}) GROUP BY doc_id, g),
+ranked AS (
+  SELECT doc_id, g, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rn,
+         CAST(sum(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams
+  FROM cnt)
+SELECT doc_id, n_bigrams, g AS top_bigram, n AS top_n,
+       round(n::DOUBLE / n_bigrams, 4) AS top_frac
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture sampling
+# ---------------------------------------------------------------------------
+MIX_MOD = 1000
+
+
+def _permille(source: Column) -> Column:
+    """Per-source keep rate in [100, 900] permille — a deterministic
+    stand-in for a configured mixture-weight table (a deployment joins
+    a real weights dim here; the sampling predicate is unchanged)."""
+    return word_hash(source) % 801 + 100
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: total docs, target keep-permille, and how many the
+    deterministic hash-threshold predicate keeps. The keep decision is
+    a pure function of (doc_id, source) — reproducible on any cluster
+    size, and the whole operator is one map-side-combinable groupBy."""
+    d = load(spark, sf_dir, "documents")
+    keep_hash = word_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    )
+    kept = (keep_hash % MIX_MOD < _permille(F.col("source"))).cast("int")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+        )
+        .select(
+            "source",
+            _permille(F.col("source")).cast("int").alias("keep_permille"),
+            "n_total",
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
+_SQL_PERMILLE = f"({SQL_WORD_HASH.format(c='source')} % 801 + 100)"
+
+SQL_DOMAIN_MIXTURE = f"""
+SELECT source,
+       CAST({_SQL_PERMILLE} AS INT) AS keep_permille,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CAST({SQL_WORD_HASH.format(c="CAST(doc_id AS VARCHAR) || ':' || source")}
+                     % {MIX_MOD} < {_SQL_PERMILLE} AS INT)) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES = {
+    "decontam_benchmark_overlap": (q_decontaminate, SQL_DECONTAMINATE),
+    "dupspan_ngram_windows": (q_dupspan, SQL_DUPSPAN),
+    "repetition_top_bigram": (q_top_bigram, SQL_TOP_BIGRAM),
+    "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+}

@@ -200,3 +200,30 @@ def test_vocab_topk_is_take_ordered_not_global_sort(spark):
     plan = plan_of(q_vocab_topk(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_decontam_broadcasts_benchmark_ngram_set(spark):
+    """The benchmark n-gram fingerprint set must broadcast onto the
+    corpus scan — the 100-TB side never shuffles for the probe — and the
+    whole plan stays JVM-side with pruned scans."""
+    from swmaestro_crawler_spark.operators.curation import q_decontaminate
+
+    plan = plan_of(q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "lang" not in plan and "n_chars" not in plan  # scan pruned to doc_id,text
+
+
+def test_dupspan_and_mixture_shapes(spark):
+    """Duplicate-span detection joins on the 32-bit window hash (never a
+    quadratic shape); mixture sampling is one map-side-combinable agg."""
+    from swmaestro_crawler_spark.operators.curation import q_domain_mixture, q_dupspan
+
+    plan = plan_of(q_dupspan(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final for dup set and per-doc
+
+    mix = plan_of(q_domain_mixture(spark, SF_DIR))
+    assert "Join" not in mix  # pure scan -> partial agg -> final agg
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in mix
