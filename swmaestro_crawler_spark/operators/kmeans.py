@@ -318,7 +318,54 @@ SELECT query_id, neighbor_id, rnk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF recall evaluation (round 3): per query, how many of the exact
+# brute-force top-k the trained IVF index retrieves — the quality gauge a
+# deployment reads before trusting the approximate path (the same
+# no-silent-caps discipline as lsh_bucket_stats). Ground truth is the
+# double-cosine brute force; IVF scores with the quantized cosine and
+# probes IVF_NPROBE of KMEANS_K lists, so recall < 1 is expected and
+# MEASURED, not assumed. Both sides are existing contract queries, so the
+# oracle composes their SQL verbatim — the eval can never drift from what
+# it evaluates.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import q_ann_cosine_topk
+
+    brute = q_ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"))
+        .select(
+            "query_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / F.lit(TOPK), 4).alias("recall"),
+        )
+    )
+
+
+def _sql_ivf_recall() -> str:
+    from .similarity import SQL_ANN_COSINE_TOPK
+
+    return f"""
+SELECT b.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(i.neighbor_id)::DOUBLE / {TOPK}, 4) AS recall
+FROM ({SQL_ANN_COSINE_TOPK}) b
+LEFT JOIN ({SQL_ANN_IVF_TOPK}) i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 QUERIES = {
     "kmeans_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_recall": (q_ann_ivf_recall, _sql_ivf_recall()),
 }

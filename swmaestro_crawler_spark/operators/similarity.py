@@ -418,8 +418,66 @@ def _sql_int_cosine(a: str, b: str) -> str:
 SQL_EMBEDDING_NEARDUP_PAIRS = _sql_neardup()
 
 
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (round 3): per-dimension affine codes — the
+# compression step every large-scale vector store applies before ANN
+# (4x smaller than float32; IVF rerank can decode or rerank in codes).
+# Exactness: per-dim min/max are order-independent double aggregates,
+# and the code expression applies the SAME IEEE op sequence in both
+# engines ((x-mn)*255/(mx-mn)+0.5, floor, clamp) — bit-identical.
+# Plan shape: one posexplode -> map-side-combinable groupBy(dim) for the
+# 64-row stats table, which BROADCASTS back onto the component stream —
+# the corpus never shuffles.
+# ---------------------------------------------------------------------------
+QUANT_LEVELS = 255
+
+
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .select("vec_id", F.posexplode("v").alias("dim", "x"))
+    )
+    stats = comp.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(QUANT_LEVELS).cast("long"),
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    * float(QUANT_LEVELS)
+                    / (F.col("mx") - F.col("mn"))
+                    + 0.5
+                ),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .cast("int")
+    )
+    return comp.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", code.alias("code")
+    )
+
+
+SQL_INT8_QUANTIZE = f"""
+WITH comp AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS dim, CAST(v[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       generate_series(1, {CENTROID_DIM}) AS t(i)),
+stats AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM comp GROUP BY dim)
+SELECT vec_id, dim,
+       CAST(CASE WHEN mx > mn
+                 THEN least({QUANT_LEVELS},
+                            floor((x - mn) * {QUANT_LEVELS}.0 / (mx - mn) + 0.5))
+                 ELSE 0 END AS INT) AS code
+FROM comp JOIN stats USING (dim)
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "embedding_centroid_assign": (q_label_centroid_assign, SQL_CENTROID_ASSIGN),
+    "embedding_int8_quantize": (q_int8_quantize, SQL_INT8_QUANTIZE),
 }

@@ -315,6 +315,66 @@ WHERE rn = (n * pct + 99) // 100
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic salience ranking, kept
+# engine-exact: tf and df are integer counts, N*tf is exact int64, and
+# the single int/int division to double is correctly rounded identically
+# in both engines (no log(), whose libm rounding may differ — the
+# rational N*tf/df is order-equivalent to tf/df_fraction for ranking).
+# Plan shape: tf = one groupBy(doc_id, w); df = one groupBy(w) off tf
+# (already map-side combined); the vocab-sized df table and the 1-row
+# corpus count BROADCAST back onto tf; top-3 is a doc_id-keyed window.
+# ---------------------------------------------------------------------------
+TFIDF_TOPN = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TFIDF_TOPN)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("score"), 4).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({SQL_WORDS.format(c="text")}) AS w FROM documents)
+  GROUP BY doc_id, w),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfreq.df,
+         CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) / dfreq.df AS score
+  FROM tf JOIN dfreq USING (w))
+SELECT doc_id, w AS term, tf, df, round(score, 4) AS score, CAST(rn AS INT) AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, w ASC) AS rn
+      FROM scored)
+WHERE rn <= {TFIDF_TOPN}
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -325,4 +385,5 @@ QUERIES = {
     "corpus_curation_pipeline": (q_corpus_curation, SQL_CORPUS_CURATION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "corpus_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
 }

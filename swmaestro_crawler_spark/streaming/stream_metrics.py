@@ -117,6 +117,47 @@ FROM (
 GROUP BY 1, 2
 """
 
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: documents arrive as a file stream and
+    ``dropDuplicates`` on the content hash keeps first-seen — the
+    streaming face of K4/ON CONFLICT DO NOTHING, and the shape a live
+    crawl uses to suppress re-fetched content. Output is the surviving
+    KEY SET only (which physical row wins is scheduling-dependent under
+    parallelism; the key set is the deterministic contract — same
+    reasoning as the batch dedup_exact_text representative choice).
+    State is keyed by a 128-bit md5, uniform — partitions evenly at any
+    scale; a production stream adds a watermark TTL to bound the state
+    store, disclosed here because the contract drain is finite."""
+    stage = tempfile.mkdtemp(prefix="stream_docs_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "documents.parquet")),
+        os.path.join(stage, "documents.parquet"),
+    )
+    src = spark.readStream.schema(DOCS_SCHEMA).parquet(stage)
+    deduped = (
+        src.select(F.md5("text").alias("text_md5"))
+        .dropDuplicates(["text_md5"])
+        .select("text_md5")
+    )
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAM_DEDUP_EXACT = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
+
+
 QUERIES = {
     "streaming_daily_event_counts": (
         lambda spark, sf_dir: stream_daily_event_counts(spark, sf_dir),
@@ -125,5 +166,9 @@ QUERIES = {
     "streaming_sliding_hourly_counts": (
         lambda spark, sf_dir: stream_sliding_hourly_counts(spark, sf_dir),
         SQL_STREAM_SLIDING_HOURLY_COUNTS,
+    ),
+    "streaming_dedup_exact": (
+        lambda spark, sf_dir: stream_dedup_exact(spark, sf_dir),
+        SQL_STREAM_DEDUP_EXACT,
     ),
 }

@@ -227,3 +227,24 @@ def test_dupspan_and_mixture_shapes(spark):
     mix = plan_of(q_domain_mixture(spark, SF_DIR))
     assert "Join" not in mix  # pure scan -> partial agg -> final agg
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in mix
+
+
+def test_int8_quantize_broadcasts_dim_stats(spark):
+    """The 64-row per-dimension stats table must broadcast back onto the
+    component stream — the corpus never shuffles for the quantization."""
+    from swmaestro_crawler_spark.operators.similarity import q_int8_quantize
+
+    plan = plan_of(q_int8_quantize(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_df_and_corpus_count(spark):
+    """df (vocab-sized) and the 1-row corpus count broadcast onto tf; the
+    top-n is a doc-keyed window, never a single-partition sort."""
+    from swmaestro_crawler_spark.operators.text_analysis import q_tfidf_top_terms
+
+    plan = plan_of(q_tfidf_top_terms(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
