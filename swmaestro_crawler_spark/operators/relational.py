@@ -481,6 +481,130 @@ FROM events GROUP BY ROLLUP (1, 2)
 """
 
 
+# ---------------------------------------------------------------------------
+# as-of join (round 3) — the classic operator Spark's DataFrame API lacks
+# as a primitive: for every purchase, the user's LATEST click at or
+# before the purchase time (ad-attribution shape). Implemented the
+# distributed way: tag both sides, union, ONE shuffle+sort on
+# (user_id; ts, kind, tie), then a running last-non-null carry — never a
+# per-row probe, never a nested loop. Cost is one shuffle of the union,
+# identical to a plain keyed join; hot users are the skew axis (salt the
+# user key and merge carries if one user exceeds a partition). Oracle is
+# DuckDB's native ASOF JOIN over a tie-collapsed right side.
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    # right side: clicks, collapsed to max event_id per (user, ts) so the
+    # at-tie winner is deterministic in both engines
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", ep.alias("t_us"))
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            "t_us",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.struct(F.col("t_us").alias("c_us"), F.col("click_id").alias("cid")).alias("carry"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ep.alias("t_us"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("struct<c_us:long,cid:long>").alias("carry"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("carry", ignorenulls=True).over(w)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("cw", carried)
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("cw.cid"), F.lit(-1)).alias("last_click_id"),
+            F.coalesce(F.col("t_us") - F.col("cw.c_us"), F.lit(-1)).alias("lag_us"),
+        )
+    )
+
+
+SQL_ASOF_JOIN_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+purchases AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id,
+       coalesce(c.click_id, -1) AS last_click_id,
+       coalesce(p.t_us - c.c_us, -1) AS lag_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.t_us >= c.c_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# banded range join (round 3): purchase/error event pairs within
+# RANGE_BAND_US of each other GLOBALLY (no key equality available — the
+# worst case for a range join). The scalable plan quantizes time into
+# RANGE_BAND_US buckets and equi-joins each left row against buckets
+# {b-1, b, b+1} (right side exploded 3x), so candidates are only the
+# rows that can possibly match — never a CartesianProduct/BNLJ, which is
+# what a naive |t1-t2| <= band predicate compiles to. Bucket population
+# is bounded by event rate x band, independent of corpus size.
+# ---------------------------------------------------------------------------
+RANGE_BAND_US = 600_000_000  # 10 min (non-empty down to sf0.001 densities)
+
+
+def q_range_join_time_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        ep.alias("p_us"),
+        F.floor(ep / RANGE_BAND_US).alias("b"),
+    )
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            ep.alias("e_us"),
+            F.explode(
+                F.array(
+                    F.floor(ep / RANGE_BAND_US) - 1,
+                    F.floor(ep / RANGE_BAND_US),
+                    F.floor(ep / RANGE_BAND_US) + 1,
+                )
+            ).alias("b"),
+        )
+    )
+    return (
+        purch.join(err, "b")
+        .filter(F.abs(F.col("p_us") - F.col("e_us")) <= RANGE_BAND_US)
+        .select("purchase_id", "error_id", (F.col("e_us") - F.col("p_us")).alias("delta_us"))
+        .distinct()
+    )
+
+
+SQL_RANGE_JOIN_TIME_BAND = f"""
+SELECT DISTINCT p.event_id AS purchase_id, x.event_id AS error_id,
+       epoch_us(x.ts) - epoch_us(p.ts) AS delta_us
+FROM events p JOIN events x
+  ON abs(epoch_us(p.ts) - epoch_us(x.ts)) <= {RANGE_BAND_US}
+WHERE p.event_type = 'purchase' AND x.event_type = 'error'
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -499,4 +623,6 @@ QUERIES = {
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "channel_staleness": (q_channel_staleness, SQL_CHANNEL_STALENESS),
     "daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
+    "asof_join_attribution": (q_asof_join_attribution, SQL_ASOF_JOIN_ATTRIBUTION),
+    "range_join_time_band": (q_range_join_time_band, SQL_RANGE_JOIN_TIME_BAND),
 }

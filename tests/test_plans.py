@@ -248,3 +248,25 @@ def test_tfidf_broadcasts_df_and_corpus_count(spark):
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_asof_join_is_one_shuffle_no_nested_loop(spark):
+    """The as-of join must compile to one user-keyed sort window over the
+    tagged union — never a nested-loop probe per row."""
+    from swmaestro_crawler_spark.operators.relational import q_asof_join_attribution
+
+    plan = plan_of(q_asof_join_attribution(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_range_join_is_banded_equi_join(spark):
+    """The global time-range join must run as a bucket equi-join (hash
+    join on the band key), not the BNLJ/CartesianProduct a naive
+    |t1-t2| <= band predicate compiles to."""
+    from swmaestro_crawler_spark.operators.relational import q_range_join_time_band
+
+    plan = plan_of(q_range_join_time_band(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
