@@ -83,13 +83,32 @@ class Catalog:
         shutil.rmtree(stage, ignore_errors=True)
         return files, file_rows
 
-    def append(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+    def _record_stats(
+        self, m: dict, table: str, files: list[str], stat_cols: list[str] | None
+    ) -> None:
+        """Record per-file min/max footer stats for ``stat_cols`` into the
+        manifest's ``file_stats`` map (keyed by table-relative path)."""
+        if not stat_cols:
+            return
+        stats = m.setdefault("file_stats", {})
+        for f in files:
+            stats[f] = self._footer_stats(os.path.join(self._dir(table), f), stat_cols)
+
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> int:
         """Append rows as a new snapshot; returns the snapshot id. The
         snapshot meta records ``rows_delta`` (rows in THIS append) and
         ``file_rows`` — per-partition lineage (one written file per task
-        partition, rows from the parquet footers)."""
+        partition, rows from the parquet footers). ``stat_cols`` opts the
+        new files into manifest min/max stats for ``read_range`` skipping."""
         files, file_rows = self._write_files(table, df)
         m = self._load_manifest(table)
+        self._record_stats(m, table, files, stat_cols)
         prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
         base = prev[0]["files"] if prev else []
         sid = m["current"] + 1
@@ -149,11 +168,18 @@ class Catalog:
         self._commit_manifest(table, m)
         return sid
 
-    def overwrite(self, table: str, df: DataFrame, meta: dict | None = None) -> int:
+    def overwrite(
+        self,
+        table: str,
+        df: DataFrame,
+        meta: dict | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> int:
         """Replace table contents as a new snapshot (old files retained for
         time travel / resume)."""
         files, file_rows = self._write_files(table, df)
         m = self._load_manifest(table)
+        self._record_stats(m, table, files, stat_cols)
         sid = m["current"] + 1
         m["snapshots"].append(
             {
@@ -394,6 +420,119 @@ class Catalog:
                     os.remove(full)
                     deleted += 1
         return deleted
+
+    # -- maintenance: compaction + file-stats pruning -----------------------
+    def compact(
+        self,
+        table: str,
+        schema: StructType,
+        target_file_rows: int = 1_000_000,
+        stat_cols: list[str] | None = None,
+    ) -> int | None:
+        """Bin-packing small-file compaction (the Iceberg
+        ``rewrite_data_files`` analogue): rewrite the current snapshot's
+        files into ``ceil(rows / target_file_rows)`` files as a NEW
+        overwrite snapshot (old files stay readable for time travel until
+        expire+vacuum). A crawl appends one snapshot per round per table,
+        so file counts grow linearly with rounds; at 100 TB the scan-task
+        count (and driver planning cost) grows with them — compaction is
+        the nightly job that folds them back. Entirely a distributed
+        read+write (one Exchange); no driver data path. Returns the new
+        snapshot id, or None when the table is already packed."""
+        import math
+
+        n_rows = self.row_count(table)
+        n_files = len(self.data_files(table))
+        want = max(1, math.ceil(n_rows / max(1, target_file_rows)))
+        if n_files <= want:
+            return None
+        df = self.read(table, schema).repartition(want)
+        return self.overwrite(
+            table,
+            df,
+            meta={"op": "compact", "compacted_from_files": n_files},
+            stat_cols=stat_cols,
+        )
+
+    def _footer_stats(self, path: str, cols: list[str]) -> dict:
+        """Per-file [min, max] for ``cols`` straight from the parquet
+        row-group footers — no data scan (Iceberg keeps the same stats in
+        its manifest files). Columns whose stats are absent or not
+        JSON-representable are omitted (readers treat missing stats as
+        'file may match' — always safe)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict[str, list] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    break
+                mns.append(st.min)
+                mxs.append(st.max)
+            else:
+                if mns and all(
+                    isinstance(v, (int, float, str)) for v in mns + mxs
+                ):
+                    out[c] = [min(mns), max(mxs)]
+        return out
+
+    def prune_files(
+        self,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot: int | None = None,
+    ) -> list[str]:
+        """Data files whose [min, max] for ``col`` may intersect
+        [lo, hi] (None = unbounded). Files without recorded stats are
+        always included — pruning can only skip files PROVEN disjoint."""
+        m = self._load_manifest(table)
+        stats = m.get("file_stats", {})
+        sid = m["current"] if snapshot is None else snapshot
+        snaps = [s for s in m["snapshots"] if s["id"] == sid]
+        keep = []
+        for f in snaps[0]["files"] if snaps else []:
+            s = stats.get(f, {}).get(col)
+            if s is not None and (
+                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
+            ):
+                continue
+            keep.append(os.path.join(self._dir(table), f))
+        return keep
+
+    def read_range(
+        self,
+        table: str,
+        schema: StructType,
+        col: str,
+        lo=None,
+        hi=None,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Range scan with manifest-level file skipping: only files whose
+        recorded [min, max] can intersect are opened; the residual
+        predicate still applies row-level (parquet row-group pushdown
+        handles the rest). The 100-TB win: a recency-horizon frontier
+        scan over a time-ordered append log opens only the recent files
+        instead of planning tasks for every file ever written."""
+        from pyspark.sql import functions as F
+
+        paths = self.prune_files(table, col, lo, hi, snapshot)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+        return df
 
     def rollback(self, table: str, snapshot: int) -> None:
         """Reset ``current`` to an earlier snapshot and discard later ones

@@ -284,9 +284,91 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction (Dolma / CCNet-style scrub pass): replace email addresses,
+# phone numbers, and IPv4 addresses with typed placeholder tokens and count
+# what was redacted. Pure regexp_replace / regexp_extract_all Column
+# expressions — whole-stage codegen, zero shuffles, embarrassingly parallel
+# at 100 TB (the scrub is a map-only stage fused into the scan).
+#
+# The synthetic corpus contains no PII, so the contract query first
+# AUGMENTS each document deterministically from its own columns (doc_id,
+# source) with an email / phone / IP — the same construction in both
+# engines — and then redacts; the test is that redaction actually fires
+# and both engines agree byte-for-byte. The regex subset used (character
+# classes, bounded repetition, \\d, \\b) behaves identically under Java
+# regex (Spark) and RE2 (DuckDB).
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{2,3}-\d{3,4}-\d{4}\b"
+
+
+def _pii_augmented() -> Column:
+    """Deterministic PII-bearing text derived from (text, doc_id, source)."""
+    ds = F.col("doc_id").cast("string")
+    return F.concat(
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" contact user"), ds,
+        F.lit("@mail-"), F.col("source"), F.lit(".net tel 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 3) % 256).cast("string"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Email -> IP -> phone replacement (order matters: the email pattern
+    can span dotted hosts the IP pattern would otherwise bite into)."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    raw = _pii_augmented()
+    return d.select(
+        "doc_id",
+        redact_pii(raw).alias("clean"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("int").alias("n_email"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_IPV4), F.lit(0)))
+        .cast("int").alias("n_ip"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE), F.lit(0)))
+        .cast("int").alias("n_phone"),
+    )
+
+
+_SQL_PII_RAW = (
+    "substr(text, 1, 80) || ' contact user' || doc_id::VARCHAR"
+    " || '@mail-' || source || '.net tel 010-'"
+    " || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '-'"
+    " || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')"
+    " || ' from 10.' || (doc_id % 256)::VARCHAR"
+    " || '.0.' || ((doc_id * 3) % 256)::VARCHAR"
+)
+
+SQL_PII_REDACT = f"""
+WITH aug AS (SELECT doc_id, {_SQL_PII_RAW} AS raw FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g') AS clean,
+       CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '{PII_IPV4}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(raw, '{PII_PHONE}')) AS INT) AS n_phone
+FROM aug
+"""
+
+
 QUERIES = {
     "decontam_benchmark_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "dupspan_ngram_windows": (q_dupspan, SQL_DUPSPAN),
     "repetition_top_bigram": (q_top_bigram, SQL_TOP_BIGRAM),
     "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
 }

@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from .similarity import (
     CENTROID_DIM,
     N_QUERIES,
+    NEARDUP_MIN_COS,
     TOPK,
     _int_cosine,
     _ldot,
@@ -291,14 +292,19 @@ def q_ann_ivf_topk(
     return ivf_search(corpus, cent, queries, broadcast_queries=broadcast_queries)
 
 
-SQL_ANN_IVF_TOPK = f"""
-WITH {_sql_kmeans_ctes()},
-a_f AS (
+# Final corpus assignment against the trained centroids — shared by the
+# IVF search oracle and the semantic-dedup oracle below.
+_SQL_AF_CTE = f"""a_f AS (
   SELECT vec_id, qv, cid AS cluster FROM (
     SELECT q.vec_id, q.qv, c.cid,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_sql_dist()} ASC, c.cid ASC) AS rnk
-    FROM q CROSS JOIN cent{KMEANS_ITERS} c) WHERE rnk = 1),
+    FROM q CROSS JOIN cent{KMEANS_ITERS} c) WHERE rnk = 1)"""
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH {_sql_kmeans_ctes()},
+{_SQL_AF_CTE},
 probes AS (
   SELECT query_id, qq, cid AS cluster FROM (
     SELECT q.vec_id AS query_id, q.qv AS qq, c.cid,
@@ -364,8 +370,71 @@ GROUP BY b.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup over trained cells (SemDeDup shape: Abbas et al. 2023,
+# arXiv:2303.09540 — public method). Engine-new capability: the reference
+# stores no vectors (New_YouTube_Crawler.py:175 keeps media as URLs).
+#
+# A vector is DROPPED when another vector in the SAME trained k-means cell
+# has exact quantized cosine >= SEMDEDUP_TAU and a smaller vec_id
+# (keep-first — deterministic in both engines). Cell assignment is the
+# joinless literal-centroid expression, so the corpus reaches the pair
+# stage without shuffling; the pair self-join hash-partitions on the
+# cluster id only.
+#
+# Scale shape at 10^10 vectors: cost is sum(cell_size^2). SemDeDup's own
+# design bounds it — K grows with the corpus (K ~ n / target_cell_size,
+# e.g. 100k cells for 10^8 docs), keeping per-cell population roughly
+# constant, so the per-cell quadratic term stays bounded while the join
+# remains a plain hash-partitioned equi-join (no broadcast of the corpus,
+# no CartesianProduct — pinned by tests/test_semantic_dedup.py). The
+# KMEANS_K=8 here is the small-SF test setting of that knob, not a cap.
+# ---------------------------------------------------------------------------
+SEMDEDUP_TAU = NEARDUP_MIN_COS
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, keep): keep=0 iff a lower-id vector in the same
+    trained cell is within SEMDEDUP_TAU exact quantized cosine."""
+    vecs = _qvecs(spark, sf_dir).select("vec_id", "qv")
+    cent = kmeans_fit(vecs, KMEANS_K, KMEANS_ITERS)
+    assigned = assign_to(vecs, cent)
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("rep_id"), F.col("qv").alias("qa")
+    )
+    b = assigned.select("cluster", "vec_id", F.col("qv").alias("qb"))
+    dropped = (
+        b.join(a, "cluster")
+        .filter(
+            (F.col("rep_id") < F.col("vec_id"))
+            & (_int_cosine(F.col("qa"), F.col("qb")) >= SEMDEDUP_TAU)
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        (F.coalesce("is_dup", F.lit(0)) == 0).cast("int").alias("keep"),
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH {_sql_kmeans_ctes()},
+{_SQL_AF_CTE},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a_f b JOIN a_f a ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_sql_int_cosine('a.qv', 'b.qv')} >= {SEMDEDUP_TAU})
+SELECT v.vec_id, v.cluster, CAST(d.vec_id IS NULL AS INT) AS keep
+FROM a_f v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+"""
+
+
 QUERIES = {
     "kmeans_centroids": (q_kmeans_centroids, SQL_KMEANS_CENTROIDS),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, _sql_ivf_recall()),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
 }

@@ -34,7 +34,10 @@ def main() -> None:
         q_ngram_jaccard_pairs,
     )
     from swmaestro_crawler_spark.operators.fetch import fetch_stage
-    from swmaestro_crawler_spark.operators.kmeans import q_ann_ivf_topk
+    from swmaestro_crawler_spark.operators.kmeans import (
+        q_ann_ivf_topk,
+        q_semantic_dedup,
+    )
     from swmaestro_crawler_spark.operators.packing import q_corpus_shard_pack
     from swmaestro_crawler_spark.operators.relational import QUERIES as REL_Q
     from swmaestro_crawler_spark.operators.similarity import q_embedding_neardup_pairs
@@ -84,6 +87,21 @@ def main() -> None:
             "Token-budget shard packing (grouped prefix sum; no single-reducer window)",
             "`operators/packing.py q_corpus_shard_pack`",
             q_corpus_shard_pack(spark, SF),
+        ),
+        (
+            "As-of join (tagged union -> one user-keyed sort -> last-non-null carry)",
+            "`operators/relational.py q_asof_join_attribution`",
+            REL_Q["asof_join_attribution"][0](spark, SF),
+        ),
+        (
+            "Keyless time-band range join (banded bucket equi-join, no CartesianProduct)",
+            "`operators/relational.py q_range_join_time_band`",
+            REL_Q["range_join_time_band"][0](spark, SF),
+        ),
+        (
+            "Semantic dedup over trained cells (joinless assignment -> cluster-keyed pair join)",
+            "`operators/kmeans.py q_semantic_dedup`",
+            q_semantic_dedup(spark, SF),
         ),
     ]
 
