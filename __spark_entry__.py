@@ -65,7 +65,11 @@ def _all_modules():
         similarity,
         text_analysis,
     )
-    from swmaestro_crawler_spark.streaming import sessionize, stream_metrics
+    from swmaestro_crawler_spark.streaming import (
+        exactly_once,
+        sessionize,
+        stream_metrics,
+    )
 
     return (
         relational,
@@ -79,6 +83,7 @@ def _all_modules():
         html_extract,
         stream_metrics,
         sessionize,
+        exactly_once,
     )
 
 

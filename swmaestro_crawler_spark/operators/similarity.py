@@ -169,9 +169,12 @@ def lsh_hyperplanes(
 
 
 def _lsh_bucket(qv: Column, planes_t: list[list[int]]) -> Column:
+    # each hyperplane lands as ONE array literal (single py4j call +
+    # single Literal node); element-wise construction cost seconds of
+    # driver round-trips across 12 tables x 4 bits x 64 dims
     out: Column = F.lit(0)
     for b, h in enumerate(planes_t):
-        lit_h = F.array(*[F.lit(int(x)).cast("long") for x in h])
+        lit_h = F.lit([int(x) for x in h]).cast("array<long>")
         out = out + F.when(_ldot(qv, lit_h) > 0, F.lit(1 << b)).otherwise(F.lit(0))
     return out.cast("int")
 
@@ -208,8 +211,13 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate embeddings: candidates collide in >=1 of the R
     hyperplane tables, then the exact quantized cosine filters at
-    NEARDUP_MIN_COS. Output ids only."""
-    vecs = _qvecs(spark, sf_dir)
+    NEARDUP_MIN_COS. Output ids only.
+
+    The squared norm |v|^2 is computed ONCE per vector in the corpus
+    projection and carried into the pair stage, so each candidate pair
+    costs one dot product instead of three. Same exact int64 products,
+    same one cast + sqrt + division — bit-identical result."""
+    vecs = _qvecs(spark, sf_dir).withColumn("ss", _ldot(F.col("qv"), F.col("qv")))
     keys = lsh_keys(vecs)
     a = keys.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
     b = keys.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
@@ -219,12 +227,25 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("qv").alias("qa"), F.col("label").alias("la"))
-    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("qv").alias("qb"), F.col("label").alias("lb"))
+    va = vecs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qv").alias("qa"),
+        F.col("label").alias("la"),
+        F.col("ss").alias("ssa"),
+    )
+    vb = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qv").alias("qb"),
+        F.col("label").alias("lb"),
+        F.col("ss").alias("ssb"),
+    )
+    cos = _ldot(F.col("qa"), F.col("qb")).cast("double") / F.sqrt(
+        (F.col("ssa") * F.col("ssb")).cast("double")
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .filter(_int_cosine(F.col("qa"), F.col("qb")) >= NEARDUP_MIN_COS)
+        .filter(cos >= NEARDUP_MIN_COS)
         .select(
             "vec_a",
             "vec_b",
