@@ -496,9 +496,30 @@ FROM comp JOIN stats USING (dim)
 """
 
 
+def _sql_lsh_bucket_stats() -> str:
+    """Oracle for lsh_bucket_stats: the same seeded hyperplane bucketing
+    (shared constants — cannot drift), aggregated per (table, bucket).
+    n*(n-1) is even, so /2 of the exact product is exact in both
+    engines' double division."""
+    planes = lsh_hyperplanes()
+    keys = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_lsh_bucket(pt)} AS bucket FROM q"
+        for t, pt in enumerate(planes)
+    )
+    return f"""
+WITH {_SQL_Q_CTE},
+keys AS (
+  {keys})
+SELECT tbl, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS cand_pairs
+FROM keys GROUP BY tbl, bucket
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
+    "lsh_bucket_stats": (lsh_bucket_stats, _sql_lsh_bucket_stats()),
     "embedding_centroid_assign": (q_label_centroid_assign, SQL_CENTROID_ASSIGN),
     "embedding_int8_quantize": (q_int8_quantize, SQL_INT8_QUANTIZE),
 }
