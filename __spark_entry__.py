@@ -58,6 +58,7 @@ def _all_modules():
     from swmaestro_crawler_spark.operators import (
         curation,
         dedup,
+        graph,
         kmeans,
         multimodal,
         packing,
@@ -74,6 +75,7 @@ def _all_modules():
     return (
         relational,
         dedup,
+        graph,
         text_analysis,
         curation,
         similarity,

@@ -1,0 +1,182 @@
+"""Link-graph analytics: deterministic fixed-point PageRank.
+
+Frontier prioritization is the missing half of a 10^10-URL crawler: the
+reference fetches in seed-rank/LIFO order only (New_YouTube_Crawler.py
+frontier handling), but a web-scale frontier wants an importance score so
+the politeness-admission top-k (operators/politeness.py) spends its
+per-host budget on the most-linked pages first. PageRank over the link
+graph is the canonical such score; this module implements it as the
+standard Pregel-style iteration — one hash join (ranks onto edges by
+src) plus one groupBy(dst) partial-sum shuffle per superstep — which is
+exactly the shape that scales: edges are the big table and are never
+re-shuffled (partitioned by src once, persisted), while the rank vector
+(one row per node) is the only thing that moves between iterations.
+
+Cross-engine exactness: all arithmetic is int64 fixed-point (rank mass
+in units of 1e-9 of a node's initial mass) with integer division only —
+`div` in Spark, `//` in DuckDB, identical on the all-positive values
+here — so the DuckDB oracle replays the same K supersteps bit-identically
+as unrolled CTEs. No doubles anywhere: results are engine-exact, not
+tolerance-compared.
+
+Graph for the contract query: the customer–supplier purchase graph from
+orders ⋈ lineitem (distinct (custkey, suppkey) pairs, symmetrized), the
+same shape as a host-level web link graph: bipartite-ish, heavy-tailed
+degree. Node ids are disjoint: customers 2k, suppliers 2k+1. Every node
+has outdeg ≥ 1 by construction (nodes exist only via edges), so there is
+no dangling-mass term; floor division leaks O(outdeg) rank units per
+node per step — disclosed, identical in both engines.
+
+Overflow bound: total mass ≈ N·SCALE; with N ≤ 1e6 nodes and
+SCALE = 1e9, inbox sums stay < 1e15 and the 85× damping product
+< 8.5e16 < 2^62 — int64-safe. At larger N, lower SCALE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from swmaestro_crawler_spark.sources.testdata import load
+
+PR_SCALE = 1_000_000_000  # initial per-node rank mass (fixed-point unit)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping d = 0.85 as an exact ratio
+PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·SCALE
+PR_ITERS = 6
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct customer<->supplier edges as (src, dst)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """K supersteps of fixed-point PageRank over a directed edge list
+    ``(src, dst)``; returns ``(node, rank)`` with rank in PR_SCALE units.
+
+    Per superstep: contrib(e) = rank[src] div outdeg[src] summed per dst
+    (one join + one partial-agg shuffle), then
+    rank' = PR_BASE + (85 · inbox) div 100. The edge table (with outdeg
+    pre-joined) is persisted once and re-read every superstep; each rank
+    vector is cut over with ``localCheckpoint(eager=True)``. persist()
+    alone is NOT enough here: it truncates execution but not the
+    analyzed plan, and each superstep references the rank vector twice
+    (inbox + the left join), so the logical plan doubles per iteration —
+    by K=6 Catalyst's re-optimization of the 2^K-node tree stalls the
+    driver. localCheckpoint truncates the lineage itself, keeping every
+    superstep's plan O(1). (On a real cluster with executor loss
+    tolerance required, swap for reliable checkpoint() — the rank vector
+    is one row per node, tiny next to the edges.)"""
+    edges_d = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+        ).persist()
+    )
+    ranks = (
+        edges_d.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        inbox = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inbox"))
+        )
+        ranks = (
+            ranks.join(inbox, ranks.node == inbox.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inbox, 0)) div {PR_DAMP_DEN}")
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges_d.unpersist()
+    return ranks
+
+
+def q_pagerank_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: PageRank over the purchase graph, with the node id
+    decoded back to (kind, key) so the result is human-auditable."""
+    ranks = pagerank(purchase_edges(spark, sf_dir))
+    return ranks.select(
+        F.col("node").alias("node_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("cust")).otherwise(F.lit("supp")).alias(
+            "kind"
+        ),
+        F.expr("node div 2").alias("key"),
+        F.col("rank"),
+    )
+
+
+def _sql_pagerank_purchase() -> str:
+    """Unrolled-superstep oracle: same int64 fixed-point updates via
+    DuckDB's `//` (floor div ≡ Spark's `div` on positive int64). Every
+    CTE is MATERIALIZED: each superstep references its predecessor twice
+    (inbox subquery + outer join), so inlining would re-expand the whole
+    chain 2^K times — the SQL mirror of the lineage blowup the Spark
+    side cuts with localCheckpoint."""
+    steps = []
+    prev = "r0"
+    for i in range(PR_ITERS):
+        cur = f"r{i + 1}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT r.node,
+         CAST({PR_BASE} + ({PR_DAMP_NUM} * COALESCE(ib.inbox, 0)) // {PR_DAMP_DEN}
+              AS BIGINT) AS rank
+  FROM {prev} r LEFT JOIN (
+    SELECT e.dst, SUM(p.rank // e.outdeg) AS inbox
+    FROM edges_d e JOIN {prev} p ON p.node = e.src
+    GROUP BY e.dst) ib ON ib.dst = r.node)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+edges AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs),
+edges_d AS MATERIALIZED (
+  SELECT e.src, e.dst, d.outdeg
+  FROM edges e JOIN (
+    SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) d USING (src)),
+r0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank FROM edges),
+{chain}
+SELECT node AS node_id,
+       CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       node // 2 AS key,
+       rank
+FROM {prev}
+"""
+
+
+SQL_PAGERANK_PURCHASE = _sql_pagerank_purchase()
+
+
+QUERIES = {
+    "pagerank_purchase_graph": (q_pagerank_purchase, SQL_PAGERANK_PURCHASE),
+}
