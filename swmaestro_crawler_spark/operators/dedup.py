@@ -574,9 +574,17 @@ def connected_components(
     rounds (VERDICT r2 item 3 stretch): a d-hop chain that plain
     propagation needs d rounds for converges in ~log2(d). comp values
     are always node ids, so the jump is a self-join of the label table.
-    Persist/unpersist is managed per iteration; the convergence probe
-    counts strict improvements on the cached frame. If the cap is hit
-    with labels still improving, raise — never return wrong components
+    Each iteration's label table is cut over with
+    ``localCheckpoint(eager=True)``, not just persist: the update
+    references the labels four times (neighbor min + left join + the
+    jump self-join), so the ANALYZED plan grows ~4x per iteration even
+    though execution reads the cache — by iteration ~10 Catalyst
+    re-optimization and the per-action plan stringification
+    (SparkListenerSQLExecutionStart carries explainString) dominate the
+    wall clock. localCheckpoint truncates the lineage itself, keeping
+    every iteration's plan O(1). The convergence probe counts strict
+    improvements on the checkpointed frame. If the cap is hit with
+    labels still improving, raise — never return wrong components
     silently."""
     edges = edges.select(
         F.col(edges.columns[0]).alias("doc_a"), F.col(edges.columns[1]).alias("doc_b")
@@ -588,9 +596,8 @@ def connected_components(
         edges.select(F.col("doc_a").alias("doc"))
         .distinct()
         .withColumn("comp", F.col("doc"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    handle = labels
     changed = 0
     for _ in range(max_iters):
         neighbor_min = (
@@ -614,12 +621,10 @@ def connected_components(
                 "comp",
                 F.least("comp1", F.coalesce("jcomp", "comp1")).alias("newcomp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = upd.filter(F.col("newcomp") < F.col("comp")).count()
-        handle.unpersist()  # previous iteration's cache (upd is materialized)
         labels = upd.select("doc", F.col("newcomp").alias("comp"))
-        handle = upd
         if changed == 0:
             break
     else:

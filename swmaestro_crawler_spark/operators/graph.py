@@ -25,7 +25,12 @@ same shape as a host-level web link graph: bipartite-ish, heavy-tailed
 degree. Node ids are disjoint: customers 2k, suppliers 2k+1. Every node
 has outdeg ≥ 1 by construction (nodes exist only via edges), so there is
 no dangling-mass term; floor division leaks O(outdeg) rank units per
-node per step — disclosed, identical in both engines.
+node per step — disclosed, identical in both engines. On a general
+directed graph (e.g. the discovered URL graph feeding
+politeness.score_admitted), nodes are src UNION dst: sink pages hold
+rank and accumulate inlink mass but redistribute nothing — the
+standard dangling simplification, disclosed (total mass decays toward
+the teleport floor instead of being renormalized).
 
 Overflow bound: total mass ≈ N·SCALE; with N ≤ 1e6 nodes and
 SCALE = 1e9, inbox sums stay < 1e15 and the 85× damping product
@@ -84,9 +89,10 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
         ).persist()
     )
     ranks = (
-        edges_d.select("src")
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .select(F.col("src").alias("node"), F.lit(PR_SCALE).cast("long").alias("rank"))
+        .select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
@@ -164,7 +170,8 @@ edges_d AS MATERIALIZED (
   FROM edges e JOIN (
     SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) d USING (src)),
 r0 AS MATERIALIZED (
-  SELECT DISTINCT src AS node, CAST({PR_SCALE} AS BIGINT) AS rank FROM edges),
+  SELECT DISTINCT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
 {chain}
 SELECT node AS node_id,
        CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,

@@ -90,7 +90,12 @@ def host_budget_col(cfg: CrawlConfig):
     ).cast("int")
 
 
-def split_admitted(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, DataFrame]:
+def split_admitted(
+    frontier: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+    order: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """(admitted, deferred) under the per-host crawl-delay budget.
 
     Skew-safe two-phase top-k (axis B): a Zipf-hot host can hold most of
@@ -104,10 +109,18 @@ def split_admitted(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> 
     frontier skew) exactly. Both phases order by the engine PRIORITY key,
     so the admitted set and order equal the single-window semantics —
     tests/test_crawl_matches_oracle.py proves it against the sequential
-    oracle."""
+    oracle.
+
+    ``order`` overrides the priority key (default: the reference LIFO
+    order). The phase-1 argument — any row in the host's global
+    top-budget is in its sub-bucket's top-budget — holds for ANY total
+    order, so score-weighted admission reuses this skew-safe shape
+    unchanged (see score_admitted)."""
+    if order is None:
+        order = priority_order()
     salts = max(1, cfg.admission_salts)
     sub = F.pmod(F.col("url_hash"), F.lit(salts))
-    w1 = Window.partitionBy("host", sub).orderBy(*priority_order())
+    w1 = Window.partitionBy("host", sub).orderBy(*order)
     ranked1 = (
         frontier.join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
         .withColumn("crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0)))
@@ -117,7 +130,7 @@ def split_admitted(frontier: DataFrame, robots: DataFrame, cfg: CrawlConfig) -> 
     cand = ranked1.filter(F.col("sub_rank") <= F.col("host_budget"))
     over1 = ranked1.filter(F.col("sub_rank") > F.col("host_budget"))
 
-    w2 = Window.partitionBy("host").orderBy(*priority_order())
+    w2 = Window.partitionBy("host").orderBy(*order)
     ranked2 = cand.withColumn("host_rank", F.row_number().over(w2))
     admitted = ranked2.filter(F.col("host_rank") <= F.col("host_budget")).drop(
         "crawl_delay_s", "host_budget", "sub_rank"
@@ -143,3 +156,53 @@ def dedup_frontier(frontier: DataFrame) -> DataFrame:
     return (
         frontier.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted admission (opt-in; reference parity needs LIFO)
+# ---------------------------------------------------------------------------
+def url_graph(crawled: DataFrame) -> DataFrame:
+    """(src, dst) int64 edge list of the discovered parent->url link graph,
+    from any frame carrying (url, parent) — pending, crawl_order, or their
+    union. Node ids are xxhash64(url), the engine's standing URL key."""
+    return (
+        crawled.filter(F.col("parent").isNotNull())
+        .select(
+            F.xxhash64(F.col("parent")).alias("src"),
+            F.xxhash64(F.col("url")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def frontier_scores(crawled: DataFrame, iters: int = 4) -> DataFrame:
+    """(url_hash, score) — fixed-point PageRank over the discovered link
+    graph (operators/graph.pagerank). The score a 10^10-URL frontier
+    spends its per-host politeness budget by: fetch the most-linked
+    pages first instead of LIFO. int64-exact, so admission stays
+    deterministic and layout-independent."""
+    from .graph import pagerank
+
+    return pagerank(url_graph(crawled), iters=iters).select(
+        F.col("node").alias("url_hash"), F.col("rank").alias("score")
+    )
+
+
+def score_admitted(
+    frontier: DataFrame, scores: DataFrame, robots: DataFrame, cfg: CrawlConfig
+) -> tuple[DataFrame, DataFrame]:
+    """split_admitted with importance-first ordering: (score DESC, then
+    the LIFO key as total tie-break). OPT-IN — the default crawl keeps
+    the reference's LIFO order (crawl-order parity is a correctness
+    criterion); this is the scheduler a production frontier would run.
+    Never-scored URLs (no inlinks yet) rank below any scored URL at
+    score 0. The scores join is a hash join on url_hash — broadcast
+    when small, shuffle otherwise; the skew-safe two-phase top-k is
+    reused unchanged."""
+    scored = frontier.join(
+        scores.select("url_hash", "score"), "url_hash", "left"
+    ).withColumn("score", F.coalesce(F.col("score"), F.lit(0).cast("long")))
+    admitted, deferred = split_admitted(
+        scored, robots, cfg, order=[F.col("score").desc(), *priority_order()]
+    )
+    return admitted.drop("score"), deferred.drop("score")

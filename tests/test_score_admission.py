@@ -1,0 +1,86 @@
+"""Importance-weighted frontier admission (opt-in scheduler): the
+score-first order changes WHICH rows win a host's politeness budget but
+never the budget itself, degrades to the reference LIFO order at zero
+score, and the PageRank scorer ranks the most-linked frontier URL first."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from swmaestro_crawler_spark.operators.politeness import (
+    frontier_scores,
+    score_admitted,
+    split_admitted,
+    synth_robots,
+    url_graph,
+)
+from swmaestro_crawler_spark.schema import FRONTIER
+from tests.conftest import small_cfg
+
+
+def _frontier(spark, cfg, n_per_host=40, hosts=4):
+    from swmaestro_crawler_spark.sources.synth_web import hosts as host_names
+
+    rows = []
+    for hi, h in enumerate(host_names(hosts)):
+        for i in range(n_per_host):
+            url = f"https://{h}/w/{i}"
+            rows.append((url, None, h, 1, i, 0, 0, f"https://{h}/"))
+    df = spark.createDataFrame(
+        [(u, 0, h, d, s, r, a, p) for (u, _x, h, d, s, r, a, p) in rows], FRONTIER
+    )
+    return df.withColumn("url_hash", F.xxhash64("url"))
+
+
+def test_score_order_wins_the_budget(spark, tmp_path):
+    """With distinct scores, the admitted rows per host must be exactly
+    the top-score rows (score DESC), not the LIFO winners."""
+    cfg = small_cfg(str(tmp_path / "wh"), per_host_cap=5, round_seconds=5.0)
+    robots = synth_robots(spark, cfg)
+    fr = _frontier(spark, cfg)
+    # score = seq so the best-by-score rows are the HIGHEST seq — the
+    # exact opposite of the LIFO key (seq ASC) at equal depth
+    scores = fr.select("url_hash", F.col("seq").alias("score"))
+    admitted, deferred = score_admitted(fr, scores, robots, cfg)
+    got = {
+        (r.host, r.seq) for r in admitted.select("host", "seq").collect()
+    }
+    budgets = {
+        r.host: r.b
+        for r in admitted.groupBy("host").agg(F.count("*").alias("b")).collect()
+    }
+    for host, b in budgets.items():
+        want = {(host, 39 - i) for i in range(b)}  # top-b seqs descending
+        assert {(h, s) for (h, s) in got if h == host} == want
+    # budget never exceeded, nothing lost
+    assert admitted.count() + deferred.count() == fr.count()
+
+
+def test_zero_scores_degrade_to_lifo(spark, tmp_path):
+    """score_admitted with an empty score table must admit the same set
+    as the reference LIFO split_admitted (score ties -> LIFO tiebreak)."""
+    cfg = small_cfg(str(tmp_path / "wh"), per_host_cap=7, round_seconds=7.0)
+    robots = synth_robots(spark, cfg)
+    fr = _frontier(spark, cfg)
+    empty = fr.select("url_hash", F.lit(0).cast("long").alias("score")).limit(0)
+    a1, _ = score_admitted(fr, empty, robots, cfg)
+    a2, _ = split_admitted(fr, robots, cfg)
+    assert {r.url for r in a1.collect()} == {r.url for r in a2.collect()}
+
+
+def test_frontier_scores_rank_most_linked_first(spark):
+    """A URL with many distinct parents must outscore one with one
+    parent; sink URLs (no outlinks) still receive scores."""
+    rows = [(f"https://h/t", f"https://h/p{i}") for i in range(10)]
+    rows += [("https://h/u", "https://h/p0")]
+    rows += [(f"https://h/p{i}", "https://h/seed") for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, parent string")
+    scores = {r.url_hash: r.score for r in frontier_scores(df).collect()}
+    t = scores[df.sparkSession.createDataFrame([("https://h/t",)], "u string")
+               .select(F.xxhash64("u").alias("h")).collect()[0].h]
+    u = scores[df.sparkSession.createDataFrame([("https://h/u",)], "u string")
+               .select(F.xxhash64("u").alias("h")).collect()[0].h]
+    assert t > u  # 10 inlinks beats 1
+    assert len(scores) == url_graph(df).select("src").unionByName(
+        url_graph(df).select(F.col("dst").alias("src"))
+    ).distinct().count()  # every node scored, sinks included
