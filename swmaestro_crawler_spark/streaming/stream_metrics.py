@@ -158,6 +158,86 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DEDUP_EXACT = "SELECT DISTINCT md5(text) AS text_md5 FROM documents"
 
 
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join with watermarks on both sides — the
+    Structured Streaming shape the batch as-of/range-join family
+    (operators/relational.py asof_join_attribution) takes when both
+    inputs are live: clicks and purchases arrive as two independent file
+    streams and every purchase is attributed to each click by the same
+    user within the preceding 30 minutes.
+
+    Scale notes: the join state store is keyed by ``user_id`` (the
+    equality key — uniform, partitions evenly), and BOTH sides carry a
+    1-hour watermark plus a closed time-range condition, so Spark can
+    evict click state older than (max event time − 30 min − 1 h) instead
+    of buffering either stream forever — the requirement for an
+    unbounded 100-TB/day event feed. Append output mode (inner interval
+    joins emit exactly once per matched pair).
+
+    Determinism: the output is a pair SET (click_id, purchase_id,
+    user_id, gap_us) with an exact integer microsecond gap — availableNow
+    drains every file, no row is late vs the watermark, so the result
+    equals the batch join bit-for-bit and the DuckDB oracle can check a
+    genuinely stream-stream query."""
+    clicks = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _staged_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+SQL_STREAM_CLICK_PURCHASE_JOIN = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "streaming_daily_event_counts": (
         lambda spark, sf_dir: stream_daily_event_counts(spark, sf_dir),
@@ -170,5 +250,9 @@ QUERIES = {
     "streaming_dedup_exact": (
         lambda spark, sf_dir: stream_dedup_exact(spark, sf_dir),
         SQL_STREAM_DEDUP_EXACT,
+    ),
+    "streaming_stream_join": (
+        lambda spark, sf_dir: stream_click_purchase_join(spark, sf_dir),
+        SQL_STREAM_CLICK_PURCHASE_JOIN,
     ),
 }
