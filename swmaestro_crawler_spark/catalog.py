@@ -192,6 +192,109 @@ class Catalog:
         self._commit_manifest(table, m)
         return sid
 
+    def merge(
+        self,
+        table: str,
+        schema: StructType,
+        updates: DataFrame,
+        key: str,
+        stat_cols: list[str] | None = None,
+        key_probe_limit: int = 100_000,
+    ) -> int:
+        """Copy-on-write MERGE (upsert): rows of ``updates`` whose ``key``
+        matches an existing row REPLACE it; the rest are inserted — the
+        Iceberg ``MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT
+        MATCHED THEN INSERT`` shape (the reference's per-row idempotent
+        upsert, K3/K4, lifted to file granularity).
+
+        Scale design: only data files whose manifest [min, max] stats for
+        ``key`` can contain an update key are rewritten; every other file
+        carries over into the new snapshot BY NAME (no bytes touched) —
+        at 100 TB a nightly delta touching a narrow key range rewrites a
+        handful of files, not the table. File-level pruning is manifest
+        math on the driver (per-file interval probe against the sorted
+        update-key list when the delta has ≤ ``key_probe_limit`` distinct
+        keys, else interval-vs-range overlap); the rewrite itself is one
+        distributed anti-join + union, update side broadcast when small.
+        Files without recorded stats are always rewritten (pruning may
+        only skip files PROVEN untouched). Old files remain readable for
+        time travel until expire+vacuum, like every other commit here.
+
+        ``updates`` must be key-unique (two updates for one key have no
+        deterministic winner) — raises otherwise."""
+        from bisect import bisect_left
+
+        from pyspark.sql import functions as F
+
+        n_upd = updates.count()
+        n_keys = updates.select(key).distinct().count()
+        if n_keys != n_upd:
+            raise ValueError(
+                f"merge: updates must be unique on {key!r} "
+                f"({n_upd} rows, {n_keys} distinct keys)"
+            )
+        if n_keys <= key_probe_limit:
+            keys = sorted(r[0] for r in updates.select(key).distinct().collect())
+            lo, hi = keys[0], keys[-1]
+
+            def touches(fmin, fmax) -> bool:
+                i = bisect_left(keys, fmin)
+                return i < len(keys) and keys[i] <= fmax
+        else:
+            keys = None
+            row = updates.agg(
+                F.min(key).alias("lo"), F.max(key).alias("hi")
+            ).collect()[0]
+            lo, hi = row["lo"], row["hi"]
+
+            def touches(fmin, fmax) -> bool:
+                return not (fmin > hi or fmax < lo)
+
+        m = self._load_manifest(table)
+        stats = m.get("file_stats", {})
+        cur = [s for s in m["snapshots"] if s["id"] == m["current"]][0]
+        touched, kept = [], []
+        for f in cur["files"]:
+            s = stats.get(f, {}).get(key)
+            (touched if s is None or touches(s[0], s[1]) else kept).append(f)
+
+        if touched:
+            old = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self._dir(table), f) for f in touched]
+            )
+            survivors = old.join(
+                F.broadcast(updates.select(key)) if n_keys <= key_probe_limit
+                else updates.select(key),
+                key,
+                "left_anti",
+            )
+            rewrite = survivors.unionByName(updates)
+        else:
+            rewrite = updates
+        files, file_rows = self._write_files(table, rewrite)
+
+        m = self._load_manifest(table)  # re-load: _write_files is slow
+        self._record_stats(m, table, files, stat_cols)
+        sid = m["current"] + 1
+        m["snapshots"].append(
+            {
+                "id": sid,
+                "files": kept + files,
+                "meta": {
+                    "op": "merge",
+                    "merge_key": key,
+                    "updates": n_upd,
+                    "files_rewritten": len(touched),
+                    "files_kept": len(kept),
+                    "rows_delta": sum(file_rows),
+                    "file_rows": file_rows,
+                },
+            }
+        )
+        m["current"] = sid
+        self._commit_manifest(table, m)
+        return sid
+
     def rows_delta(self, table: str, snapshot: int) -> int:
         """PHYSICAL rows written by snapshot ``snapshot`` (from footer
         stats). For zero-copy tables with a ``row_filter`` prop this is

@@ -605,6 +605,81 @@ WHERE p.event_type = 'purchase' AND x.event_type = 'error'
 """
 
 
+# ---------------------------------------------------------------------------
+# K3/K4 at file granularity — catalog copy-on-write MERGE (upsert). The
+# reference upserts row-at-a-time (ON CONFLICT per execute,
+# New_YouTube_Crawler.py:210-275); a lakehouse nightly delta is the same
+# semantics as ONE snapshot commit that rewrites only the data files whose
+# key stats intersect the delta (catalog.Catalog.merge).
+# ---------------------------------------------------------------------------
+def q_catalog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert a deterministic orders delta into a catalog table and read
+    the merged snapshot back: keys ≡3 (mod 7) get doubled prices
+    (matched → replace), negated keys ≡5 (mod 101) are brand-new rows
+    (not matched → insert). All arithmetic is exact in binary64 (×2 is
+    an exponent bump, +1 a single correctly-rounded add), so the DuckDB
+    twin is bit-identical. The base is range-partitioned on the key so
+    file min/max stats are tight — the COW property (untouched files
+    carried over by name) is pinned by tests/test_catalog_merge.py."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import Catalog
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderstatus", StringType()),
+        ]
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="merge_wh_"))
+    cat.append(
+        "orders_m",
+        orders.repartitionByRange(8, "o_orderkey"),
+        stat_cols=["o_orderkey"],
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 3)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 5).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                (F.col("o_totalprice") + 1).alias("o_totalprice"),
+                F.lit("NEW").alias("o_orderstatus"),
+            )
+        )
+    )
+    cat.merge("orders_m", schema, updates, key="o_orderkey", stat_cols=["o_orderkey"])
+    return cat.read("orders_m", schema)
+
+
+SQL_CATALOG_MERGE_UPSERT = """
+SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 7 = 3
+UNION ALL
+SELECT -o_orderkey, o_totalprice + 1, 'NEW'
+FROM orders WHERE o_orderkey % 101 = 5
+UNION ALL
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 7 <> 3
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -625,4 +700,5 @@ QUERIES = {
     "daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
     "asof_join_attribution": (q_asof_join_attribution, SQL_ASOF_JOIN_ATTRIBUTION),
     "range_join_time_band": (q_range_join_time_band, SQL_RANGE_JOIN_TIME_BAND),
+    "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),
 }
