@@ -531,6 +531,7 @@ class Catalog:
         schema: StructType,
         target_file_rows: int = 1_000_000,
         stat_cols: list[str] | None = None,
+        cluster_by: str | None = None,
     ) -> int | None:
         """Bin-packing small-file compaction (the Iceberg
         ``rewrite_data_files`` analogue): rewrite the current snapshot's
@@ -541,19 +542,40 @@ class Catalog:
         count (and driver planning cost) grows with them — compaction is
         the nightly job that folds them back. Entirely a distributed
         read+write (one Exchange); no driver data path. Returns the new
-        snapshot id, or None when the table is already packed."""
+        snapshot id, or None when the table is already packed.
+
+        ``cluster_by`` sort-clusters the rewrite (Iceberg's sort-order
+        rewrite): rows are range-partitioned and sorted on the column, so
+        each output file owns a disjoint value band and the per-file
+        min/max stats recorded via ``stat_cols`` make ``read_range``
+        skipping tight — an append log whose every file spans the whole
+        key range (nothing prunable) becomes one-file-per-band after the
+        nightly compact. With ``cluster_by`` set, compaction proceeds
+        even when the file count is already small, because the REASON to
+        rewrite is ordering, not count."""
         import math
 
         n_rows = self.row_count(table)
         n_files = len(self.data_files(table))
         want = max(1, math.ceil(n_rows / max(1, target_file_rows)))
-        if n_files <= want:
+        if n_files <= want and cluster_by is None:
             return None
-        df = self.read(table, schema).repartition(want)
+        df = self.read(table, schema)
+        if cluster_by is not None:
+            df = df.repartitionByRange(want, cluster_by).sortWithinPartitions(
+                cluster_by
+            )
+            stat_cols = sorted(set(stat_cols or []) | {cluster_by})
+        else:
+            df = df.repartition(want)
         return self.overwrite(
             table,
             df,
-            meta={"op": "compact", "compacted_from_files": n_files},
+            meta={
+                "op": "compact",
+                "compacted_from_files": n_files,
+                **({"cluster_by": cluster_by} if cluster_by else {}),
+            },
             stat_cols=stat_cols,
         )
 
