@@ -44,7 +44,13 @@ def _part_by_hash(df: DataFrame, n: int, col: str = "url_hash") -> DataFrame:
     return df.repartition(n, F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(n))).sortWithinPartitions(col)
 
 
-def with_global_ord(df: DataFrame, sort_cols, n_parts: int, out_col: str = "ord"):
+def with_global_ord(
+    df: DataFrame,
+    sort_cols,
+    n_parts: int,
+    out_col: str = "ord",
+    deterministic_layout: bool = False,
+):
     """Dense 0-based global rank over ``sort_cols`` WITHOUT a single-reducer
     window (``Window.orderBy`` with no partitionBy funnels every row through
     one task — the serial stage that would cap scaling at 4N executors).
@@ -53,10 +59,25 @@ def with_global_ord(df: DataFrame, sort_cols, n_parts: int, out_col: str = "ord"
     fully parallel global sort whose partition ids follow key order;
     (2) one tiny job collects per-partition row counts -> prefix offsets;
     (3) an Arrow ``mapInPandas`` pass assigns ``offset[pid] + arange`` —
-    order-preserving, no shuffle. Deterministic for a given input (range
-    sampling is seeded per input partition), hence cluster-size
-    independent. Returns (ranked_df, persisted_handle); caller unpersists
-    the handle after consuming ranked_df."""
+    order-preserving, no shuffle. The RANK VALUES are deterministic for a
+    given input (``sort_cols`` is a total order, so the global position
+    of every row is boundary-independent). Returns
+    (ranked_df, persisted_handle); caller unpersists the handle after
+    consuming ranked_df.
+
+    The range PARTITIONING itself is NOT run-reproducible at scale:
+    Spark's RangePartitioner seeds its reservoir sampling with the
+    sampled RDD's id, and RDD ids are a global driver counter — under
+    concurrent job submission (the round's bookkeeping jobs) allocation
+    order races, so two identical runs can draw different boundary
+    samples and place rows in different partitions. Harmless to the rank
+    values; fatal to byte-level file-layout equality. (Unit-scale inputs
+    sample exhaustively, which is why only large runs expose it.)
+    ``deterministic_layout=True`` adds one final exchange keyed on
+    ``ord div ceil(total/n_parts)`` — a pure function of row VALUES — so
+    every row's file assignment (a contiguous ord block per file) is
+    identical across runs regardless of sampling; writers whose output
+    feeds byte-level digests (crawl_order) must use it."""
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -88,7 +109,13 @@ def with_global_ord(df: DataFrame, sort_cols, n_parts: int, out_col: str = "ord"
             done += len(b)
             yield b
 
-    return s.mapInPandas(add_ord, out_schema), s
+    ranked = s.mapInPandas(add_ord, out_schema)
+    if deterministic_layout:
+        block = max(1, -(-acc // n_parts))  # ceil(total / n_parts)
+        ranked = ranked.repartition(
+            n_parts, F.floor(F.col(out_col) / F.lit(block)).cast("long")
+        ).sortWithinPartitions(out_col)
+    return ranked, s
 
 
 class _StepTimer:
@@ -356,13 +383,18 @@ def run_round_critical(
         # crawl-order log — the judge-replayable total order. ord is the
         # dense rank over the PRIORITY key within the round, computed by
         # the scalable range-sort + prefix-offset rank (no single-reducer
-        # window); partition ids follow key order, so the written files
-        # are globally ord-sorted. Reads only the flat key columns
-        # (column pruning hits the scratch parquet).
+        # window). deterministic_layout pins every row's FILE assignment
+        # to a pure function of ord (one contiguous ord block per file),
+        # so the written bytes are identical across runs even though the
+        # rank's internal range sampling races under the concurrent
+        # bookkeeping jobs — the byte-identical-resume contract of this
+        # table. Reads only the flat key columns (column pruning hits
+        # the scratch parquet).
         ranked, ranked_handle = with_global_ord(
             fetched.select("url", "host", "depth", "seq", "url_hash", "ok"),
             priority_order(),
             cfg.frontier_partitions,
+            deterministic_layout=True,
         )
         order_rows = ranked.select(
             F.lit(r).cast("int").alias("round"),
