@@ -53,6 +53,17 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     first = next(iter(qs.values()), None)
     if first is not None:
         _force(first(spark, sf_dir))
+    # spin up the Python UDF workers once (spark.python.worker.reuse keeps
+    # them alive) so the first Arrow-UDF query isn't charged ~5s of
+    # one-time worker-pool launch
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    _force(spark.range(0, 10_000, 1, 32).select(_noop("id")))
 
     out: dict[str, float] = {}
     for name, fn in qs.items():
@@ -127,6 +138,33 @@ def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3) -> dict:
         shutil.rmtree(wh, ignore_errors=True)
 
 
+def host_calibration() -> dict:
+    """Two fixed reference workloads, recorded so round-over-round bench
+    diffs can be normalized for sandbox host variance (each round runs in
+    a fresh VM whose CPU/memory-bandwidth budget differs; round 3's host
+    ran round 2's unchanged code ~2-4x slower). Single-threaded integer
+    hashing (DuckDB) tracks scalar CPU speed; a float matmul at BLAS
+    parallelism tracks the multicore FP/bandwidth budget."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 1")
+    t0 = time.perf_counter()
+    con.execute("SELECT sum(hash(range)) FROM range(20000000)").fetchall()
+    duck_s = time.perf_counter() - t0
+    a = np.random.RandomState(0).rand(2048, 2048)
+    a @ a  # warm BLAS pool
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ a
+    mm_s = (time.perf_counter() - t0) / 3
+    return {
+        "duckdb_1thread_hash20m_s": round(duck_s, 3),
+        "numpy_matmul2048_gflops": round(2 * 2048**3 / mm_s / 1e9, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -172,6 +210,7 @@ def main() -> None:
         "oracle_queries": oracle,
         "spark_vs_duckdb": ratios,
         "spark_vs_duckdb_median": rs[len(rs) // 2] if rs else None,
+        "host_calibration": host_calibration(),
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     scaling_path = os.path.join(bench_dir, "scaling.json")

@@ -74,10 +74,69 @@ def _dist_to(qv: Column, vv: Column, cv: list[int], n: int) -> Column:
     return num.cast("double") / F.lit(float(n * n))
 
 
+def _cent_arrays(cent: list[tuple[int, list[int], int]]):
+    """(cids, C, ns, ssc) numpy views of a centroid list, cid-ascending —
+    argmin over columns in this order IS the (dist asc, cid asc)
+    tie-break."""
+    import numpy as np
+
+    cent = sorted(cent, key=lambda t: t[0])
+    cids = np.array([cid for cid, _, _ in cent], dtype=np.int64)
+    C = np.array([cv for _, cv, _ in cent], dtype=np.int64)  # (K, dim)
+    ns = np.array([n for _, _, n in cent], dtype=np.int64)
+    ssc = np.array(
+        [sum(int(x) * int(x) for x in cv) for _, cv, _ in cent], dtype=np.int64
+    )
+    return cids, C, ns, ssc
+
+
+def _dist_matrix(x, cids, C, ns, ssc):
+    """(n, K) scaled squared distances, bit-identical to `_dist_to`:
+    the int64 numerator wraps mod 2^64 exactly like Spark's non-ANSI
+    long arithmetic (modular +,* are order-independent, so the matmul
+    accumulation order is immaterial), then ONE cast to float64 and an
+    IEEE division by the exact float n^2 — the same two ops Catalyst
+    runs."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        vv = np.einsum("ij,ij->i", x, x)  # (n,)
+        num = (
+            (ns * ns)[None, :] * vv[:, None]
+            - (2 * ns)[None, :] * (x @ C.T)
+            + ssc[None, :]
+        )
+    return num.astype(np.float64) / (ns * ns).astype(np.float64)[None, :]
+
+
 def assign_to(vecs: DataFrame, cent: list[tuple[int, list[int], int]]) -> DataFrame:
-    """Add a ``cluster`` column: argmin over the literal centroid list
-    (tie-broken by cluster id) via ``array_min`` on (dist, cid) structs.
-    Pure whole-row expression — zero joins, zero shuffles of the corpus."""
+    """Add a ``cluster`` column: argmin distance over the trained
+    centroids (tie-broken by cluster id). One Arrow-batched integer
+    matmul per batch — zero joins, zero shuffles of the corpus. The
+    Column-expression form (`_dist_to` + array_min, kept for the parity
+    test) paid K literal-array plan nodes per consumer, which dominated
+    wall clock at every corpus size; math is bit-identical
+    (tests/test_kmeans.py pins equality)."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C, ns, ssc = _cent_arrays(cent)
+
+    @F.pandas_udf("long")
+    def _cluster(qv):
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        x = np.stack(qv.to_numpy()).astype(np.int64)
+        dist = _dist_matrix(x, cids, C, ns, ssc)
+        # argmin returns the FIRST minimum — columns are cid-ascending
+        return pd.Series(cids[np.argmin(dist, axis=1)])
+
+    return vecs.withColumn("cluster", _cluster("qv"))
+
+
+def assign_to_expr(vecs: DataFrame, cent: list[tuple[int, list[int], int]]) -> DataFrame:
+    """Pure-Column variant of `assign_to` (the pre-round-3 form) — kept
+    as the cross-check mirror for the parity test."""
     vv = _ldot(F.col("qv"), F.col("qv"))
     structs = [
         F.struct(
@@ -265,19 +324,28 @@ def ivf_probes(
     queries: DataFrame, cent: list[tuple[int, list[int], int]], nprobe: int = IVF_NPROBE
 ) -> DataFrame:
     """(query_id, qq) -> (query_id, qq, cluster): the nprobe nearest
-    trained cells per query, via sorted literal-centroid distances."""
-    vv = _ldot(F.col("qq"), F.col("qq"))
-    structs = [
-        F.struct(
-            _dist_to(F.col("qq"), vv, cv, n).alias("dist"),
-            F.lit(int(cid)).cast("long").alias("cid"),
-        )
-        for cid, cv, n in cent
-    ]
-    nearest = F.slice(F.array_sort(F.array(*structs)), 1, nprobe)
+    trained cells per query. Same Arrow-batched distance matrix as
+    `assign_to`; the (dist asc, cid asc) sort of the Column form's
+    array_sort is replayed with a stable argsort over cid-ascending
+    columns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    cids, C, ns, ssc = _cent_arrays(cent)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _probe(qq):
+        if len(qq) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(qq.to_numpy()).astype(np.int64)
+        dist = _dist_matrix(x, cids, C, ns, ssc)
+        order = np.argsort(dist, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cids[order]))
+
     return queries.select(
-        "query_id", "qq", F.explode(nearest).alias("p")
-    ).select("query_id", "qq", F.col("p.cid").alias("cluster"))
+        "query_id", "qq", F.explode(_probe("qq")).alias("cluster")
+    )
 
 
 def ivf_search(

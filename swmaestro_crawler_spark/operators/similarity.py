@@ -182,19 +182,34 @@ def _lsh_bucket(qv: Column, planes_t: list[list[int]]) -> Column:
 def lsh_keys(vecs: DataFrame, planes: list[list[list[int]]] | None = None) -> DataFrame:
     """(vec_id, qv, ...) -> (vec_id, tbl, bucket): one row per hash
     table. Only ids and two small ints leave this projection — vectors
-    never enter the candidate shuffle."""
+    never enter the candidate shuffle.
+
+    All R*B sign bits come out of ONE Arrow-batched integer matmul
+    (X @ planes^T): the Column-expression form (`_lsh_bucket`, kept for
+    the parity test) needs R*B literal-array aggregate lambdas whose
+    driver-side construction + analysis dominated the query wall at any
+    corpus size — same exact int64 dot products either way (int64 matmul
+    is modular-arithmetic-identical regardless of accumulation order),
+    pinned bit-equal in tests/test_neardup_lsh.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
     planes = planes or lsh_hyperplanes()
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"), _lsh_bucket(F.col("qv"), pt).alias("bucket")
-            )
-            for t, pt in enumerate(planes)
-        ]
-    )
-    return vecs.select("vec_id", F.explode(entries).alias("e")).select(
-        "vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
-    )
+    P = np.array(planes, dtype=np.int64)  # (R, B, dim)
+    r_tables, bits, dim = P.shape
+    M = P.reshape(r_tables * bits, dim)
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(qv):
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(qv.to_numpy()).astype(np.int64)  # (n, dim)
+        signs = (x @ M.T > 0).astype(np.int64).reshape(len(x), r_tables, bits)
+        return pd.Series(list((signs @ weights).astype(np.int32)))
+
+    return vecs.select("vec_id", F.posexplode(_buckets("qv")).alias("tbl", "bucket"))
 
 
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,44 +228,49 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane tables, then the exact quantized cosine filters at
     NEARDUP_MIN_COS. Output ids only.
 
-    The squared norm |v|^2 is computed ONCE per vector in the corpus
-    projection and carried into the pair stage, so each candidate pair
-    costs one dot product instead of three. Same exact int64 products,
-    same one cast + sqrt + division — bit-identical result."""
-    vecs = _qvecs(spark, sf_dir).withColumn("ss", _ldot(F.col("qv"), F.col("qv")))
-    keys = lsh_keys(vecs)
-    a = keys.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
-    b = keys.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    va = vecs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("qv").alias("qa"),
-        F.col("label").alias("la"),
-        F.col("ss").alias("ssa"),
-    )
-    vb = vecs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("qv").alias("qb"),
-        F.col("label").alias("lb"),
-        F.col("ss").alias("ssb"),
-    )
-    cos = _ldot(F.col("qa"), F.col("qb")).cast("double") / F.sqrt(
-        (F.col("ssa") * F.col("ssb")).cast("double")
-    )
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .filter(cos >= NEARDUP_MIN_COS)
-        .select(
-            "vec_a",
-            "vec_b",
-            (F.col("la") == F.col("lb")).cast("int").alias("same_label"),
+    The verify stage runs WITHIN each (table, bucket) group as one
+    Arrow-batched Gram matrix (X @ X^T upper triangle): each vector
+    ships R times — once per hash table — instead of once per candidate
+    pair, and the O(bucket^2) candidate set is never materialized as
+    rows; only pairs that pass the threshold leave the group. (The
+    previous form self-joined the key table into a candidate row set
+    and evaluated a per-pair Column dot product — at bounded bucket
+    size both are correct, but candidates-as-rows pays a
+    pairs-count-sized shuffle + distinct that the in-group Gram matrix
+    avoids entirely.) Same exact int64 products, same one cast + sqrt +
+    IEEE division — bit-identical result, deduped across tables by the
+    final distinct over the (few) survivors."""
+    import numpy as np
+    import pandas as pd
+
+    vecs = _qvecs(spark, sf_dir)
+    keyed = lsh_keys(vecs).join(vecs, "vec_id")
+
+    def emit_pairs(_key, pdf):
+        x = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # (b, dim)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        labels = pdf["label"].to_numpy()
+        with np.errstate(over="ignore", invalid="ignore"):
+            g = x @ x.T  # exact int64 dots (wrap == Spark long)
+            ss = np.einsum("ij,ij->i", x, x)
+            cos = g.astype(np.float64) / np.sqrt(
+                (ss[:, None] * ss[None, :]).astype(np.float64)
+            )
+        i, j = np.nonzero(np.triu(cos >= NEARDUP_MIN_COS, k=1))
+        # canonical orientation: vec_a < vec_b regardless of group order
+        a, b = np.minimum(ids[i], ids[j]), np.maximum(ids[i], ids[j])
+        return pd.DataFrame(
+            {
+                "vec_a": a,
+                "vec_b": b,
+                "same_label": (labels[i] == labels[j]).astype(np.int32),
+            }
         )
+
+    return (
+        keyed.groupBy("tbl", "bucket")
+        .applyInPandas(emit_pairs, "vec_a long, vec_b long, same_label int")
+        .distinct()
     )
 
 

@@ -41,3 +41,16 @@ def test_iterations_refine_the_seeds(spark):
     cent = kmeans_fit(vecs, KMEANS_K, KMEANS_ITERS)
     assert sum(n for _, _, n in cent) == vecs.count()
     assert any(n > 1 for _, _, n in cent)
+
+
+def test_arrow_assignment_matches_column_expression_mirror(spark):
+    """The Arrow-batched argmin (assign_to) and the pure-Column
+    array_min form (assign_to_expr) must agree row-for-row — same int64
+    numerator, one double cast, same (dist, cid) tie-break."""
+    from swmaestro_crawler_spark.operators.kmeans import assign_to_expr
+
+    vecs = _qvecs(spark, SF_DIR).select("vec_id", "qv")
+    cent = kmeans_fit(vecs, KMEANS_K, KMEANS_ITERS)
+    udf_side = {r.vec_id: r.cluster for r in assign_to(vecs, cent).collect()}
+    expr_side = {r.vec_id: r.cluster for r in assign_to_expr(vecs, cent).collect()}
+    assert udf_side == expr_side

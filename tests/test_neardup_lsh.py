@@ -78,3 +78,37 @@ def test_hyperplanes_are_stable_constants():
     assert all(x in (1, -1) for t in a for h in t for x in h)
     # distinct tables/bits get distinct planes
     assert a[0][0] != a[0][1] and a[0][0] != a[1][0]
+
+
+def test_arrow_bucketing_matches_column_expression_mirror(spark):
+    """lsh_keys' single integer matmul must reproduce the per-bit
+    Column-expression bucketing (_lsh_bucket) exactly."""
+    from pyspark.sql import functions as F
+
+    from swmaestro_crawler_spark.operators.similarity import (
+        _lsh_bucket,
+        _qvecs,
+        lsh_hyperplanes,
+        lsh_keys,
+    )
+
+    vecs = _qvecs(spark, SF_DIR)
+    planes = lsh_hyperplanes()
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _lsh_bucket(F.col("qv"), pt).alias("bucket")
+            )
+            for t, pt in enumerate(planes)
+        ]
+    )
+    expr_side = set(
+        map(
+            tuple,
+            vecs.select("vec_id", F.explode(entries).alias("e"))
+            .select("vec_id", "e.tbl", "e.bucket")
+            .collect(),
+        )
+    )
+    udf_side = set(map(tuple, lsh_keys(vecs).collect()))
+    assert udf_side == expr_side
