@@ -63,6 +63,7 @@ def _all_modules():
         multimodal,
         packing,
         relational,
+        scheduling,
         similarity,
         text_analysis,
     )
@@ -74,6 +75,7 @@ def _all_modules():
 
     return (
         relational,
+        scheduling,
         dedup,
         graph,
         text_analysis,

@@ -365,10 +365,137 @@ FROM aug
 """
 
 
+# ---------------------------------------------------------------------------
+# model-based quality filtering: hashed bag-of-words linear classifier
+# (fastText-style, Joulin et al. 2016 — the CCNet/LLaMA corpus-filter
+# shape). Training happens offline; what runs over the 100-TB corpus is
+# INFERENCE, so that is what this operator is: each token hashes into one
+# of DIM weight buckets (feature hashing, Weinberger et al. 2009), the
+# document logit is the sum of its buckets' weights plus a per-token bias.
+# Weights here are derived from a seeded hash so both engines share the
+# model without a sidecar file; production swaps in trained weights as a
+# DIM-entry literal array (identical plan shape).
+#
+# Scale shape: ZERO shuffles — the whole scorer is one whole-stage-codegen
+# projection (array transform + aggregate over the per-row token array),
+# embarrassingly parallel over the corpus scan.
+# ---------------------------------------------------------------------------
+QC_DIM = 1024  # weight buckets
+QC_WSPAN = 2001  # weights uniform in [-1000, 1000]
+QC_BIAS = -120  # per-token bias: mean bucket weight must beat this to keep
+
+
+def _qc_weight(tok: Column) -> Column:
+    """Seeded weight of ``tok``'s feature bucket, exact int64 in [-1000,1000]."""
+    bucket = word_hash(tok) % QC_DIM
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("qw:"), bucket.cast("string"))), 1, 8), 16, 10)
+    return h.cast("long") % QC_WSPAN - (QC_WSPAN - 1) // 2
+
+
+_SQL_QC_WEIGHT = (
+    f"({SQL_WORD_HASH.format(c='w')} % {QC_DIM})"
+)
+_SQL_QC_W = (
+    f"({SQL_WORD_HASH.format(c=chr(39) + 'qw:' + chr(39) + ' || (' + _SQL_QC_WEIGHT + ')::VARCHAR')}"
+    f" % {QC_WSPAN} - {(QC_WSPAN - 1) // 2})"
+)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = words(F.col("text"))
+    logit = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + _qc_weight(w) + F.lit(QC_BIAS)
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        logit.alias("logit"),
+        (logit > 0).cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH scored AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(ws, w -> {_SQL_QC_W} + ({QC_BIAS}))),
+                     (acc, x) -> acc + x) AS logit
+  FROM (SELECT doc_id, {SQL_WORDS.format(c='text')} AS ws FROM documents))
+SELECT doc_id, n_tokens, logit, CAST(logit > 0 AS INT) AS keep
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# host/source reputation: the per-domain quality ledger a crawler's
+# admission scheduler consumes (the reference tracks per-channel `recent`
+# flags; a 10^10-URL crawl ranks whole HOSTS before spending fetch budget
+# on them — C4/CCNet drop entire domains the same way). One pass over the
+# corpus: exact-dup mass (distinct md5), classifier keep rate, mean
+# length; combined into one integer permille score. Single
+# map-side-combinable groupBy(source) — no joins, integer-exact twin.
+# ---------------------------------------------------------------------------
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    logit = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + _qc_weight(w) + F.lit(QC_BIAS)
+    )
+    per_doc = d.select(
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        (logit > 0).cast("long").alias("keep"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("keep").alias("keep_n"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "keep_n",
+        F.expr("sum_chars div n_docs").alias("avg_chars"),
+        F.expr(
+            "(1000 * keep_n) div n_docs - (500 * (n_docs - n_unique)) div n_docs"
+        ).alias("reputation_permille"),
+    )
+
+
+SQL_HOST_REPUTATION = f"""
+WITH per_doc AS (
+  SELECT source, n_chars, md5(text) AS fp,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform({SQL_WORDS.format(c='text')},
+                             w -> {_SQL_QC_W} + ({QC_BIAS}))),
+              (acc, x) -> acc + x) > 0 AS BIGINT) AS keep
+  FROM documents),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         CAST(sum(keep) AS BIGINT) AS keep_n,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, n_unique, keep_n,
+       sum_chars // n_docs AS avg_chars,
+       (1000 * keep_n) // n_docs - (500 * (n_docs - n_unique)) // n_docs
+         AS reputation_permille
+FROM agg
+"""
+
+
 QUERIES = {
     "decontam_benchmark_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "dupspan_ngram_windows": (q_dupspan, SQL_DUPSPAN),
     "repetition_top_bigram": (q_top_bigram, SQL_TOP_BIGRAM),
     "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
+    "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
 }

@@ -375,6 +375,79 @@ WHERE rn <= {TFIDF_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram language-model scoring (the CCNet/KenLM-shaped
+# fluency filter, reduced to exact integer arithmetic): pass 1 trains the
+# model — bigram counts C(w1 w2) and continuation-mass prefix counts
+# P(w1) — as two map-side-combinable aggregations; pass 2 scores every
+# document by its mean scaled conditional probability
+#   cond_milli(w1 w2) = (1e6 * C(w1 w2)) div P(w1)
+# joined back per bigram occurrence. All counts and divisions are int64,
+# so DuckDB replays the train+score bit-identically.
+#
+# Scale shape: the trained tables are vocabulary-sized (bounded, Zipf),
+# not corpus-sized; the score join is keyed on the bigram string —
+# uniformly hash-distributed, broadcastable when the model is pruned.
+# A production LM filter prunes counts < k; here the corpus is small
+# enough to keep every bigram, which the oracle replays exactly.
+# ---------------------------------------------------------------------------
+LM_SCALE = 1_000_000
+
+
+def _bigrams(ws) -> Column:
+    return F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id", F.explode(_bigrams(words(F.col("text")))).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ", 2)[0])
+    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    pfx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("pw"))
+    scored = (
+        bg.join(cnt, "bg")
+        .join(pfx, "w1")
+        .withColumn("cm", F.expr(f"({LM_SCALE} * cb) div pw"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("cm").alias("sum_milli"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_milli div n_bigrams").alias("avg_cond_milli"),
+        )
+    )
+
+
+_SQL_BIGRAMS = f"""
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
+  FROM (SELECT doc_id, {SQL_WORDS.format(c="text")} AS ws FROM documents),
+       UNNEST(range(1, len(ws))) AS t(i)
+"""
+
+SQL_BIGRAM_LM_SCORE = f"""
+WITH bg AS ({_SQL_BIGRAMS}),
+cnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg),
+pfx AS (SELECT w1, CAST(count(*) AS BIGINT) AS pw FROM bg GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, ({LM_SCALE} * c.cb) // p.pw AS cm
+  FROM bg b JOIN cnt c USING (bg) JOIN pfx p USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(cm) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_cond_milli
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "text_quality_score": (q_quality_score, SQL_QUALITY_SCORE),
@@ -386,4 +459,5 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "corpus_length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "bigram_lm_score": (q_bigram_lm_score, SQL_BIGRAM_LM_SCORE),
 }
