@@ -65,6 +65,7 @@ def _all_modules():
         relational,
         scheduling,
         similarity,
+        sketches,
         text_analysis,
     )
     from swmaestro_crawler_spark.streaming import (
@@ -82,6 +83,7 @@ def _all_modules():
         curation,
         similarity,
         kmeans,
+        sketches,
         packing,
         multimodal,
         html_extract,

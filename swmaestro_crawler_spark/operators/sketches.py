@@ -1,0 +1,285 @@
+"""Distributed cardinality / frequency sketches (HLL, KMV, count-min).
+
+The reference counts exactly — e.g. ``len(video_ids)`` over a collected
+list per channel (New_YouTube_Crawler.py crawl bookkeeping) — which is
+fine at 10^4 rows and impossible at a 10^10-URL frontier, where exact
+`count(DISTINCT url)` per host means shuffling every key.  Sketches are
+the standard scale substitute: constant-size per-group state, map-side
+combinable, one narrow shuffle of (group, register) pairs instead of raw
+keys.
+
+All three operators here are *engine-exact* (hash-verifiable vs DuckDB)
+because every step is integer math over a shared md5-derived hash:
+
+- **HyperLogLog** (Flajolet et al. 2007): register index = 6 low bits of
+  the first md5 word, rho = leading-zero count of the second 32-bit md5
+  word + 1, computed on the HEX STRING (ltrim '0' + a 15-way digit CASE)
+  so both engines agree bit-for-bit.  The harmonic denominator is kept
+  as an INTEGER scaled by 2^34 (max 64 registers * 2^34 < 2^41 — no
+  overflow, no float summation order), and the raw estimate is a single
+  integer division.  The small-range linear-counting correction needs
+  ln() whose last ulp differs across libms, so the contract output keeps
+  the raw integer estimate plus (zero_regs, denom) — the test applies
+  the float correction driver-side and pins the accuracy bound.
+- **KMV / bottom-k** (Bar-Yossef et al. 2002): the K=64 smallest 48-bit
+  hashes per group; est = (K-1) * 2^48 / kth_min, integer division.
+  Unlike HLL it also yields a mergeable distinct SAMPLE (the engine's
+  LSH band tables reuse the same bottom-k idea for doc sampling).
+- **Count-min** (Cormode & Muthukrishnan 2005): d=4 rows x w=512
+  counters; per-key estimate = min over rows of its counter.  The
+  sketch build is one groupBy of (row, col) — 2048 cells total
+  regardless of input size — and the probe is a broadcast join of the
+  candidate keys against those cells.  est >= exact always (one-sided
+  error), pinned by the test.
+
+Scale shape: HLL/KMV shuffle only (grp, register|hash) pairs — the
+group-key shuffle is the same exchange the exact count would need, but
+the per-group state is O(m), not O(distinct).  Count-min's cell table is
+a constant-size broadcast.  No joins on the build side, no driver data
+path, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.testdata import load
+
+# --- HyperLogLog ----------------------------------------------------------
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_S = 34  # denominator fixed-point scale: term = 2^(S - rho), rho in [1,33]
+HLL_ALPHA = 0.709  # standard alpha_64 constant
+HLL_ALPHA_NUM = round(HLL_ALPHA * HLL_M * HLL_M * (1 << HLL_S))
+
+# leading-zero-bit count of a 32-bit value, +1, computed on its 8-char hex
+# string (identical semantics in Spark SQL and DuckDB)
+def _rho_sql(hex8: str) -> str:
+    s = f"trim(LEADING '0' FROM {hex8})"
+    return (
+        f"CASE WHEN {s} = '' THEN 33 ELSE (8 - length({s})) * 4"
+        f" + CASE WHEN substring({s}, 1, 1) = '1' THEN 3"
+        f"        WHEN substring({s}, 1, 1) IN ('2','3') THEN 2"
+        f"        WHEN substring({s}, 1, 1) IN ('4','5','6','7') THEN 1"
+        f"        ELSE 0 END + 1 END"
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distinct-customer estimate over orders: HLL registers
+    -> integer-scaled harmonic denominator -> raw estimate, plus the
+    exact count for self-evaluation (the exact agg is the expensive path
+    the sketch replaces; it is included so the contract row itself
+    witnesses the approximation quality)."""
+    base = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp",
+        "md5(CAST(o_custkey AS STRING)) AS hx",
+    )
+    obs = base.selectExpr(
+        "grp",
+        "hx",
+        f"CAST(conv(substring(hx, 1, 8), 16, 10) AS BIGINT) % {HLL_M} AS reg",
+        _rho_sql("substring(hx, 9, 8)") + " AS rho",
+    )
+    regs = obs.groupBy("grp", "reg").agg(F.max("rho").alias("rho"))
+    per = regs.groupBy("grp").agg(
+        F.count("*").alias("regs_hit"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_S} - rho)")).alias(
+            "denom_obs"
+        ),
+    )
+    exact = obs.groupBy("grp").agg(F.countDistinct("hx").alias("exact_distinct"))
+    denom = F.col("denom_obs") + (HLL_M - F.col("regs_hit")) * F.lit(1 << HLL_S)
+    return (
+        per.join(F.broadcast(exact), "grp")
+        .select(
+            "grp",
+            "regs_hit",
+            (F.lit(HLL_M) - F.col("regs_hit")).alias("zero_regs"),
+            denom.alias("denom_scaled"),
+            F.expr(
+                f"CAST({HLL_ALPHA_NUM} AS BIGINT) div "
+                f"(denom_obs + ({HLL_M} - regs_hit) * CAST({1 << HLL_S} AS BIGINT))"
+            ).alias("est_raw"),
+            "exact_distinct",
+        )
+    )
+
+
+SQL_HLL_DISTINCT = f"""
+WITH base AS (
+  SELECT o_orderpriority AS grp, md5(CAST(o_custkey AS VARCHAR)) AS hx
+  FROM orders),
+obs AS (
+  SELECT grp, hx,
+         ('0x' || substr(hx, 1, 8))::BIGINT % {HLL_M} AS reg,
+         {_rho_sql("substr(hx, 9, 8)")} AS rho
+  FROM base),
+regs AS (
+  SELECT grp, reg, max(rho) AS rho FROM obs GROUP BY grp, reg),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS regs_hit,
+         CAST(sum(1::BIGINT << ({HLL_S} - rho)) AS BIGINT) AS denom_obs
+  FROM regs GROUP BY grp),
+ex AS (
+  SELECT grp, CAST(count(DISTINCT hx) AS BIGINT) AS exact_distinct
+  FROM obs GROUP BY grp)
+SELECT per.grp, regs_hit,
+       {HLL_M} - regs_hit AS zero_regs,
+       denom_obs + ({HLL_M} - regs_hit) * {1 << HLL_S}::BIGINT AS denom_scaled,
+       {HLL_ALPHA_NUM}::BIGINT // (denom_obs + ({HLL_M} - regs_hit) * {1 << HLL_S}::BIGINT)
+         AS est_raw,
+       exact_distinct
+FROM per JOIN ex ON per.grp = ex.grp
+"""
+
+# --- KMV / bottom-k -------------------------------------------------------
+KMV_K = 64
+KMV_BITS = 48  # 12 hex chars -> values < 2^48, so (K-1) << 48 fits int64
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority bottom-K distinct sketch over orders: K smallest
+    48-bit hashes; est = (K-1) * 2^48 / kth_min (integer division), or
+    the exact count when fewer than K distinct hashes exist."""
+    from pyspark.sql import Window
+
+    dist = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS grp",
+            "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT) AS h",
+        )
+        .groupBy("grp", "h")
+        .agg(F.count("*").alias("_n"))
+        .drop("_n")
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    ranked = dist.select(
+        "grp",
+        "h",
+        F.row_number().over(w).alias("rn"),
+    )
+    per = ranked.groupBy("grp").agg(
+        F.count("*").alias("distinct_hashed"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = F.when(
+        F.col("distinct_hashed") < KMV_K, F.col("distinct_hashed")
+    ).otherwise(
+        F.expr(f"CAST({(KMV_K - 1) << KMV_BITS} AS BIGINT) div kth")
+    )
+    return per.select(
+        "grp",
+        "distinct_hashed",
+        F.coalesce("kth", F.lit(-1)).alias("kth_hash"),
+        est.alias("est_distinct"),
+    )
+
+
+SQL_KMV_DISTINCT = f"""
+WITH dist AS (
+  SELECT DISTINCT o_orderpriority AS grp,
+         ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM orders),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM dist),
+per AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS distinct_hashed,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS kth
+  FROM ranked GROUP BY grp)
+SELECT grp, distinct_hashed,
+       coalesce(kth, -1) AS kth_hash,
+       CASE WHEN distinct_hashed < {KMV_K} THEN distinct_hashed
+            ELSE {(KMV_K - 1) << KMV_BITS}::BIGINT // kth END AS est_distinct
+FROM per
+"""
+
+# --- count-min ------------------------------------------------------------
+CM_D = 4
+CM_W = 512
+CM_HEAVY = 25  # flag keys whose estimated frequency reaches this
+
+
+def _cm_col_sql(i_expr: str, v_expr: str, spark: bool) -> str:
+    inner = (
+        f"concat('cm', CAST({i_expr} AS STRING), ':', CAST({v_expr} AS STRING))"
+        if spark
+        else f"'cm' || CAST({i_expr} AS VARCHAR) || ':' || CAST({v_expr} AS VARCHAR)"
+    )
+    to_int = (
+        f"CAST(conv(substring(md5({inner}), 1, 8), 16, 10) AS BIGINT)"
+        if spark
+        else f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+    )
+    return f"{to_int} % {CM_W}"
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for every customer key in orders:
+    build the d x w cell table (one groupBy — constant 2048 cells), then
+    probe it with a broadcast join; est = min over the d rows.  The
+    one-sided error invariant (est >= exact) is pinned by the test."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_D)])).alias("i")
+    expl = orders.select("o_custkey", rows).selectExpr(
+        "o_custkey",
+        "i",
+        _cm_col_sql("i", "o_custkey", spark=True) + " AS c",
+    )
+    cells = expl.groupBy("i", "c").agg(F.count("*").alias("cell_cnt"))
+    cand = orders.groupBy("o_custkey").agg(F.count("*").alias("exact_cnt"))
+    probe = cand.select("o_custkey", "exact_cnt", rows).selectExpr(
+        "o_custkey",
+        "exact_cnt",
+        "i",
+        _cm_col_sql("i", "o_custkey", spark=True) + " AS c",
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["i", "c"])
+        .groupBy("o_custkey")
+        .agg(
+            F.max("exact_cnt").alias("exact_cnt"),
+            F.min("cell_cnt").alias("est_cnt"),
+        )
+    )
+    return est.select(
+        "o_custkey",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= CM_HEAVY).cast("int").alias("is_heavy"),
+    )
+
+
+SQL_COUNTMIN_HEAVY_HITTERS = f"""
+WITH expl AS (
+  SELECT o_custkey, i, {_cm_col_sql("i", "o_custkey", spark=False)} AS c
+  FROM orders, range({CM_D}) r(i)),
+cells AS (
+  SELECT i, c, CAST(count(*) AS BIGINT) AS cell_cnt FROM expl GROUP BY i, c),
+cand AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM orders GROUP BY o_custkey),
+probe AS (
+  SELECT o_custkey, exact_cnt, i,
+         {_cm_col_sql("i", "o_custkey", spark=False)} AS c
+  FROM cand, range({CM_D}) r(i))
+SELECT probe.o_custkey,
+       max(exact_cnt) AS exact_cnt,
+       min(cell_cnt) AS est_cnt,
+       CAST(min(cell_cnt) >= {CM_HEAVY} AS INT) AS is_heavy
+FROM probe JOIN cells ON probe.i = cells.i AND probe.c = cells.c
+GROUP BY probe.o_custkey
+"""
+
+
+QUERIES = {
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "countmin_heavy_hitters": (
+        q_countmin_heavy_hitters,
+        SQL_COUNTMIN_HEAVY_HITTERS,
+    ),
+}
