@@ -67,6 +67,7 @@ def _all_modules():
         similarity,
         sketches,
         text_analysis,
+        zorder,
     )
     from swmaestro_crawler_spark.streaming import (
         exactly_once,
@@ -84,6 +85,7 @@ def _all_modules():
         similarity,
         kmeans,
         sketches,
+        zorder,
         packing,
         multimodal,
         html_extract,

@@ -532,6 +532,7 @@ class Catalog:
         target_file_rows: int = 1_000_000,
         stat_cols: list[str] | None = None,
         cluster_by: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> int | None:
         """Bin-packing small-file compaction (the Iceberg
         ``rewrite_data_files`` analogue): rewrite the current snapshot's
@@ -552,16 +553,45 @@ class Catalog:
         key range (nothing prunable) becomes one-file-per-band after the
         nightly compact. With ``cluster_by`` set, compaction proceeds
         even when the file count is already small, because the REASON to
-        rewrite is ordering, not count."""
+        rewrite is ordering, not count.
+
+        ``zorder_by`` (two integer-valued columns) is the multi-column
+        variant (Iceberg/Delta ``ZORDER BY``): rows sort on the Morton
+        interleave of the two 16-bit-normalized keys, so each output
+        file owns a rectangle in (x, y) space and the recorded min/max
+        stats prune on EITHER column — a spans table laid out this way
+        serves both per-host scans and recency-horizon scans from the
+        same copy.  Bounds come from one min/max aggregate (4 scalars to
+        the driver); the z key is pure int64 bit math (functions/zorder
+        raises on ranges past the 2^47 overflow bound)."""
         import math
 
         n_rows = self.row_count(table)
         n_files = len(self.data_files(table))
         want = max(1, math.ceil(n_rows / max(1, target_file_rows)))
-        if n_files <= want and cluster_by is None:
+        if n_files <= want and cluster_by is None and zorder_by is None:
             return None
         df = self.read(table, schema)
-        if cluster_by is not None:
+        if zorder_by is not None:
+            from pyspark.sql import functions as F
+
+            from .functions.zorder import zvalue_norm_sql
+
+            xc, yc = zorder_by
+            b = df.agg(
+                F.min(xc), F.max(xc), F.min(yc), F.max(yc)
+            ).collect()[0]
+            zx = zvalue_norm_sql(
+                xc, yc, (b[0], b[1]), (b[2], b[3]), engine="spark"
+            )
+            df = (
+                df.withColumn("__z", F.expr(zx))
+                .repartitionByRange(want, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+            stat_cols = sorted(set(stat_cols or []) | {xc, yc})
+        elif cluster_by is not None:
             df = df.repartitionByRange(want, cluster_by).sortWithinPartitions(
                 cluster_by
             )
@@ -575,6 +605,7 @@ class Catalog:
                 "op": "compact",
                 "compacted_from_files": n_files,
                 **({"cluster_by": cluster_by} if cluster_by else {}),
+                **({"zorder_by": list(zorder_by)} if zorder_by else {}),
             },
             stat_cols=stat_cols,
         )
