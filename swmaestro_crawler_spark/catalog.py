@@ -94,21 +94,125 @@ class Catalog:
         for f in files:
             stats[f] = self._footer_stats(os.path.join(self._dir(table), f), stat_cols)
 
+    # bloom sizing: ~10 bits/key, k=7 probes -> ~0.8% false-positive rate
+    BLOOM_BITS_PER_KEY = 10
+    BLOOM_K = 7
+
+    def _record_blooms(
+        self, m: dict, table: str, files: list[str], bloom_cols: list[str] | None
+    ) -> None:
+        """Record a per-file bloom filter over each integer column in
+        ``bloom_cols`` into the manifest's ``file_blooms`` map — the
+        Iceberg/parquet bloom analogue, but manifest-level so the DRIVER
+        prunes files for point lookups without opening any of them.
+        min/max stats only help when the layout is sorted on the column;
+        a URL-seen log appended in crawl order has url_hash min/max
+        spanning the whole 64-bit range in every file, yet its bloom
+        still answers 'this file cannot contain key X' at ~1% error.
+        Cost: one columnar read of the just-written file per column (the
+        writer already has the file hot in page cache)."""
+        if not bloom_cols:
+            return
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from .functions.hashing import bloom_positions_np
+
+        blooms = m.setdefault("file_blooms", {})
+        for f in files:
+            path = os.path.join(self._dir(table), f)
+            tbl = pq.read_table(path, columns=[c for c in bloom_cols])
+            per: dict[str, dict] = {}
+            for c in bloom_cols:
+                col = tbl.column(c)
+                if not str(col.type).startswith(("int", "uint")):
+                    raise TypeError(
+                        f"bloom_cols need integer columns, {c} is {col.type}; "
+                        "hash strings to int64 first (murmur3_url_hash)"
+                    )
+                v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+                n = max(1, len(v))
+                bits = 1 << max(6, int(n * self.BLOOM_BITS_PER_KEY).bit_length())
+                pos = bloom_positions_np(v, self.BLOOM_K, bits).ravel()
+                arr = np.zeros(bits >> 3, dtype=np.uint8)
+                np.bitwise_or.at(
+                    arr,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+                )
+                per[c] = {"bits": bits, "k": self.BLOOM_K, "hex": arr.tobytes().hex()}
+            blooms.setdefault(f, {}).update(per)
+
+    def prune_files_point(
+        self, table: str, col: str, value: int, snapshot: int | None = None
+    ) -> list[str]:
+        """Data files that MAY contain ``col == value``: bloom-negative
+        files are skipped (no false negatives by construction), then
+        min/max stats cut what remains. Files with neither recorded are
+        kept — pruning only ever skips files proven non-matching."""
+        from .functions.hashing import bloom_positions_py
+
+        m = self._load_manifest(table)
+        blooms = m.get("file_blooms", {})
+        stats = m.get("file_stats", {})
+        sid = m["current"] if snapshot is None else snapshot
+        snaps = [s for s in m["snapshots"] if s["id"] == sid]
+        keep = []
+        for f in snaps[0]["files"] if snaps else []:
+            s = stats.get(f, {}).get(col)
+            if s is not None and not (s[0] <= value <= s[1]):
+                continue
+            b = blooms.get(f, {}).get(col)
+            if b is not None:
+                buf = bytes.fromhex(b["hex"])
+                if any(
+                    not (buf[p >> 3] >> (p & 7)) & 1
+                    for p in bloom_positions_py(int(value), b["k"], b["bits"])
+                ):
+                    continue
+            keep.append(os.path.join(self._dir(table), f))
+        return keep
+
+    def read_point(
+        self,
+        table: str,
+        schema: StructType,
+        col: str,
+        value: int,
+        snapshot: int | None = None,
+    ) -> DataFrame:
+        """Point lookup with manifest bloom + stats file skipping; the
+        equality predicate still applies row-level (parquet row-group
+        pushdown inside the surviving files)."""
+        from pyspark.sql import functions as F
+
+        paths = self.prune_files_point(table, col, value, snapshot)
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .filter(F.col(col) == value)
+        )
+
     def append(
         self,
         table: str,
         df: DataFrame,
         meta: dict | None = None,
         stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Append rows as a new snapshot; returns the snapshot id. The
         snapshot meta records ``rows_delta`` (rows in THIS append) and
         ``file_rows`` — per-partition lineage (one written file per task
         partition, rows from the parquet footers). ``stat_cols`` opts the
-        new files into manifest min/max stats for ``read_range`` skipping."""
+        new files into manifest min/max stats for ``read_range`` skipping;
+        ``bloom_cols`` opts them into per-file blooms for ``read_point``."""
         files, file_rows = self._write_files(table, df)
         m = self._load_manifest(table)
         self._record_stats(m, table, files, stat_cols)
+        self._record_blooms(m, table, files, bloom_cols)
         prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
         base = prev[0]["files"] if prev else []
         sid = m["current"] + 1
@@ -174,12 +278,14 @@ class Catalog:
         df: DataFrame,
         meta: dict | None = None,
         stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Replace table contents as a new snapshot (old files retained for
         time travel / resume)."""
         files, file_rows = self._write_files(table, df)
         m = self._load_manifest(table)
         self._record_stats(m, table, files, stat_cols)
+        self._record_blooms(m, table, files, bloom_cols)
         sid = m["current"] + 1
         m["snapshots"].append(
             {

@@ -680,6 +680,72 @@ FROM orders WHERE o_orderkey % 7 <> 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Point lookup over an append log via manifest blooms. The reference answers
+# "have I seen this id?" with a SELECT on an indexed Postgres column
+# (New_YouTube_Crawler.py seen checks); the lakehouse equivalent of that
+# index is a per-file bloom in the manifest — min/max stats are useless on
+# a hash-keyed log (every file spans the full range), the bloom still
+# prunes to ~1 file per probe (tests/test_manifest_bloom.py).
+# ---------------------------------------------------------------------------
+def q_catalog_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an orders log of 4 hash-interleaved appends (nothing
+    min/max-prunable), bloom the key column, then answer five fixed
+    point lookups (the smallest keys ≡11 mod 97) plus one known-missing
+    key through read_point — driver-side file pruning, row-level
+    equality inside the surviving files."""
+    import functools
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import Catalog
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="point_wh_"))
+    for i in range(4):
+        cat.append(
+            "o",
+            orders.filter(F.col("o_orderkey") % 4 == i),
+            stat_cols=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+        )
+    keys = [
+        r[0]
+        for r in orders.filter("o_orderkey % 97 = 11")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    parts = [cat.read_point("o", schema, "o_orderkey", k) for k in keys]
+    parts.append(cat.read_point("o", schema, "o_orderkey", -12345))
+    return functools.reduce(DataFrame.unionByName, parts)
+
+
+SQL_CATALOG_POINT_LOOKUP = """
+WITH k AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 11
+  ORDER BY o_orderkey LIMIT 5)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority
+FROM orders o JOIN k USING (o_orderkey)
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -701,4 +767,5 @@ QUERIES = {
     "asof_join_attribution": (q_asof_join_attribution, SQL_ASOF_JOIN_ATTRIBUTION),
     "range_join_time_band": (q_range_join_time_band, SQL_RANGE_JOIN_TIME_BAND),
     "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),
+    "catalog_point_lookup": (q_catalog_point_lookup, SQL_CATALOG_POINT_LOOKUP),
 }
