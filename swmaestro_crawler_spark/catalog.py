@@ -19,13 +19,22 @@ New_YouTube_Crawler.py:210,275, New_YouTube_Crawler_Comment.py:386,439).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+class CommitConflict(RuntimeError):
+    """A commit planned against snapshot S found the table moved past S
+    (another writer landed first). Retry by re-planning against the new
+    current snapshot — rebasing blindly could resurrect rows the planned
+    rewrite no longer accounts for."""
 
 
 class Catalog:
@@ -33,6 +42,61 @@ class Catalog:
         self.spark = spark
         self.warehouse = os.path.abspath(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
+
+    # -- commit isolation -----------------------------------------------------
+    # Manifest writes are atomic (os.replace), but read-modify-write is not:
+    # two concurrent appends that both load current=N would both commit N+1
+    # and one snapshot would vanish. Every commit therefore re-loads the
+    # manifest UNDER a per-table lock and mutates that fresh state — appends
+    # rebase for free (their data files are already on disk; only the
+    # manifest entry moves), while read-dependent commits (merge) instead
+    # verify their planned base is still current and raise CommitConflict.
+    # The lock is an O_CREAT|O_EXCL file carrying the holder pid — atomic on
+    # POSIX, reclaimable when the holder died mid-commit (resume path). On a
+    # real cluster this CAS lives in the metastore; the file stands in for
+    # it with identical semantics on one node.
+    LOCK_TIMEOUT_S = 60.0
+
+    @contextlib.contextmanager
+    def _commit_lock(self, table: str):
+        os.makedirs(self._dir(table), exist_ok=True)
+        path = os.path.join(self._dir(table), "_commit.lock")
+        deadline = time.monotonic() + self.LOCK_TIMEOUT_S
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                break
+            except FileExistsError:
+                try:
+                    holder = int(open(path).read() or -1)
+                except (OSError, ValueError):
+                    holder = -1
+                if holder > 0 and holder != os.getpid():
+                    try:
+                        os.kill(holder, 0)
+                    except ProcessLookupError:  # holder died mid-commit
+                        with contextlib.suppress(OSError):
+                            os.unlink(path)
+                        continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"commit lock on {table} held by {holder}")
+                time.sleep(0.01)
+        try:
+            yield
+        finally:
+            os.close(fd)
+            with contextlib.suppress(OSError):
+                os.unlink(path)
+
+    def _locked_commit(self, table: str, mutate) -> int:
+        """Run ``mutate(manifest) -> sid`` against freshly-loaded manifest
+        state under the table's commit lock, then publish atomically."""
+        with self._commit_lock(table):
+            m = self._load_manifest(table)
+            sid = mutate(m)
+            self._commit_manifest(table, m)
+            return sid
 
     # -- manifest helpers ---------------------------------------------------
     def _dir(self, table: str) -> str:
@@ -83,26 +147,35 @@ class Catalog:
         shutil.rmtree(stage, ignore_errors=True)
         return files, file_rows
 
-    def _record_stats(
-        self, m: dict, table: str, files: list[str], stat_cols: list[str] | None
-    ) -> None:
-        """Record per-file min/max footer stats for ``stat_cols`` into the
-        manifest's ``file_stats`` map (keyed by table-relative path)."""
+    def _compute_stats(
+        self, table: str, files: list[str], stat_cols: list[str] | None
+    ) -> dict:
+        """Per-file min/max footer stats for ``stat_cols`` (keyed by
+        table-relative path) — computed OUTSIDE the commit lock; merged
+        into the manifest's ``file_stats`` map at commit."""
         if not stat_cols:
-            return
-        stats = m.setdefault("file_stats", {})
-        for f in files:
-            stats[f] = self._footer_stats(os.path.join(self._dir(table), f), stat_cols)
+            return {}
+        return {
+            f: self._footer_stats(os.path.join(self._dir(table), f), stat_cols)
+            for f in files
+        }
+
+    @staticmethod
+    def _merge_file_meta(m: dict, stats_d: dict, blooms_d: dict) -> None:
+        if stats_d:
+            m.setdefault("file_stats", {}).update(stats_d)
+        for f, per in blooms_d.items():
+            m.setdefault("file_blooms", {}).setdefault(f, {}).update(per)
 
     # bloom sizing: ~10 bits/key, k=7 probes -> ~0.8% false-positive rate
     BLOOM_BITS_PER_KEY = 10
     BLOOM_K = 7
 
-    def _record_blooms(
-        self, m: dict, table: str, files: list[str], bloom_cols: list[str] | None
-    ) -> None:
-        """Record a per-file bloom filter over each integer column in
-        ``bloom_cols`` into the manifest's ``file_blooms`` map — the
+    def _compute_blooms(
+        self, table: str, files: list[str], bloom_cols: list[str] | None
+    ) -> dict:
+        """Per-file bloom filter over each integer column in
+        ``bloom_cols`` for the manifest's ``file_blooms`` map — the
         Iceberg/parquet bloom analogue, but manifest-level so the DRIVER
         prunes files for point lookups without opening any of them.
         min/max stats only help when the layout is sorted on the column;
@@ -110,15 +183,16 @@ class Catalog:
         spanning the whole 64-bit range in every file, yet its bloom
         still answers 'this file cannot contain key X' at ~1% error.
         Cost: one columnar read of the just-written file per column (the
-        writer already has the file hot in page cache)."""
+        writer already has the file hot in page cache) — computed
+        OUTSIDE the commit lock; merged at commit."""
         if not bloom_cols:
-            return
+            return {}
         import numpy as np
         import pyarrow.parquet as pq
 
         from .functions.hashing import bloom_positions_np
 
-        blooms = m.setdefault("file_blooms", {})
+        blooms: dict[str, dict] = {}
         for f in files:
             path = os.path.join(self._dir(table), f)
             tbl = pq.read_table(path, columns=[c for c in bloom_cols])
@@ -141,7 +215,8 @@ class Catalog:
                     (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
                 )
                 per[c] = {"bits": bits, "k": self.BLOOM_K, "hex": arr.tobytes().hex()}
-            blooms.setdefault(f, {}).update(per)
+            blooms[f] = per
+        return blooms
 
     def prune_files_point(
         self, table: str, col: str, value: int, snapshot: int | None = None
@@ -208,24 +283,34 @@ class Catalog:
         ``file_rows`` — per-partition lineage (one written file per task
         partition, rows from the parquet footers). ``stat_cols`` opts the
         new files into manifest min/max stats for ``read_range`` skipping;
-        ``bloom_cols`` opts them into per-file blooms for ``read_point``."""
+        ``bloom_cols`` opts them into per-file blooms for ``read_point``.
+
+        Concurrency: the data write and stats/bloom computation happen
+        outside the commit lock; the manifest entry rebases onto whatever
+        is current at commit time, so concurrent appends to one table
+        all land (tests/test_concurrent_commits.py)."""
         files, file_rows = self._write_files(table, df)
-        m = self._load_manifest(table)
-        self._record_stats(m, table, files, stat_cols)
-        self._record_blooms(m, table, files, bloom_cols)
-        prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
-        base = prev[0]["files"] if prev else []
-        sid = m["current"] + 1
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "files": base + files,
-                "meta": dict(meta or {}, rows_delta=sum(file_rows), file_rows=file_rows),
-            }
-        )
-        m["current"] = sid
-        self._commit_manifest(table, m)
-        return sid
+        stats_d = self._compute_stats(table, files, stat_cols)
+        blooms_d = self._compute_blooms(table, files, bloom_cols)
+
+        def mutate(m: dict) -> int:
+            self._merge_file_meta(m, stats_d, blooms_d)
+            prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+            base = prev[0]["files"] if prev else []
+            sid = m["current"] + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "files": base + files,
+                    "meta": dict(
+                        meta or {}, rows_delta=sum(file_rows), file_rows=file_rows
+                    ),
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
 
     def append_rows(
         self, table: str, rows: list[tuple], schema: StructType, meta: dict | None = None
@@ -257,20 +342,22 @@ class Catalog:
         os.makedirs(data_dir, exist_ok=True)
         name = f"snap-{uuid.uuid4().hex}-local.parquet"
         pq.write_table(tbl, os.path.join(data_dir, name))
-        m = self._load_manifest(table)
-        prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
-        base = prev[0]["files"] if prev else []
-        sid = m["current"] + 1
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "files": base + [os.path.join("data", name)],
-                "meta": dict(meta or {}, rows_delta=len(rows)),
-            }
-        )
-        m["current"] = sid
-        self._commit_manifest(table, m)
-        return sid
+
+        def mutate(m: dict) -> int:
+            prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+            base = prev[0]["files"] if prev else []
+            sid = m["current"] + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "files": base + [os.path.join("data", name)],
+                    "meta": dict(meta or {}, rows_delta=len(rows)),
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
 
     def overwrite(
         self,
@@ -283,20 +370,25 @@ class Catalog:
         """Replace table contents as a new snapshot (old files retained for
         time travel / resume)."""
         files, file_rows = self._write_files(table, df)
-        m = self._load_manifest(table)
-        self._record_stats(m, table, files, stat_cols)
-        self._record_blooms(m, table, files, bloom_cols)
-        sid = m["current"] + 1
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "files": files,
-                "meta": dict(meta or {}, rows_delta=sum(file_rows), file_rows=file_rows),
-            }
-        )
-        m["current"] = sid
-        self._commit_manifest(table, m)
-        return sid
+        stats_d = self._compute_stats(table, files, stat_cols)
+        blooms_d = self._compute_blooms(table, files, bloom_cols)
+
+        def mutate(m: dict) -> int:
+            self._merge_file_meta(m, stats_d, blooms_d)
+            sid = m["current"] + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "files": files,
+                    "meta": dict(
+                        meta or {}, rows_delta=sum(file_rows), file_rows=file_rows
+                    ),
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
 
     def merge(
         self,
@@ -327,7 +419,14 @@ class Catalog:
         time travel until expire+vacuum, like every other commit here.
 
         ``updates`` must be key-unique (two updates for one key have no
-        deterministic winner) — raises otherwise."""
+        deterministic winner) — raises otherwise.
+
+        Concurrency: merge is read-dependent (the survivor anti-join was
+        computed against the snapshot current at plan time), so unlike
+        append it cannot rebase — if another writer commits between plan
+        and commit it raises :class:`CommitConflict`; the caller
+        re-plans against the new current snapshot (Iceberg's
+        validate-and-retry loop)."""
         from bisect import bisect_left
 
         from pyspark.sql import functions as F
@@ -358,7 +457,8 @@ class Catalog:
 
         m = self._load_manifest(table)
         stats = m.get("file_stats", {})
-        cur = [s for s in m["snapshots"] if s["id"] == m["current"]][0]
+        base_sid = m["current"]
+        cur = [s for s in m["snapshots"] if s["id"] == base_sid][0]
         touched, kept = [], []
         for f in cur["files"]:
             s = stats.get(f, {}).get(key)
@@ -378,28 +478,35 @@ class Catalog:
         else:
             rewrite = updates
         files, file_rows = self._write_files(table, rewrite)
+        stats_d = self._compute_stats(table, files, stat_cols)
 
-        m = self._load_manifest(table)  # re-load: _write_files is slow
-        self._record_stats(m, table, files, stat_cols)
-        sid = m["current"] + 1
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "files": kept + files,
-                "meta": {
-                    "op": "merge",
-                    "merge_key": key,
-                    "updates": n_upd,
-                    "files_rewritten": len(touched),
-                    "files_kept": len(kept),
-                    "rows_delta": sum(file_rows),
-                    "file_rows": file_rows,
-                },
-            }
-        )
-        m["current"] = sid
-        self._commit_manifest(table, m)
-        return sid
+        def mutate(m: dict) -> int:
+            if m["current"] != base_sid:
+                raise CommitConflict(
+                    f"merge planned against {table}@{base_sid} but current "
+                    f"is {m['current']} — re-plan against the new snapshot"
+                )
+            self._merge_file_meta(m, stats_d, {})
+            sid = m["current"] + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "files": kept + files,
+                    "meta": {
+                        "op": "merge",
+                        "merge_key": key,
+                        "updates": n_upd,
+                        "files_rewritten": len(touched),
+                        "files_kept": len(kept),
+                        "rows_delta": sum(file_rows),
+                        "file_rows": file_rows,
+                    },
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
 
     def rows_delta(self, table: str, snapshot: int) -> int:
         """PHYSICAL rows written by snapshot ``snapshot`` (from footer
@@ -442,29 +549,31 @@ class Catalog:
         files = [os.path.join(rel, f) for f in src_snap[0]["files"]]
         rows = src_snap[0]["meta"].get("rows_delta", 0)
         file_rows = src_snap[0]["meta"].get("file_rows", [])
-        m = self._load_manifest(table)
-        props = m.get("props", {})
         new_props = {
             k: v
             for k, v in (("column_map", column_map), ("row_filter", row_filter))
             if v is not None
         }
-        if props and new_props and props != new_props:
-            raise ValueError(f"conflicting table props for {table}")
-        m["props"] = props or new_props
-        prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
-        base = prev[0]["files"] if prev else []
-        sid = m["current"] + 1
-        m["snapshots"].append(
-            {
-                "id": sid,
-                "files": base + files,
-                "meta": dict(meta or {}, rows_delta=rows, file_rows=file_rows),
-            }
-        )
-        m["current"] = sid
-        self._commit_manifest(table, m)
-        return sid
+
+        def mutate(m: dict) -> int:
+            props = m.get("props", {})
+            if props and new_props and props != new_props:
+                raise ValueError(f"conflicting table props for {table}")
+            m["props"] = props or new_props
+            prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+            base = prev[0]["files"] if prev else []
+            sid = m["current"] + 1
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "files": base + files,
+                    "meta": dict(meta or {}, rows_delta=rows, file_rows=file_rows),
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
 
     def read(self, table: str, schema: StructType, snapshot: int | None = None) -> DataFrame:
         """Read a snapshot (default: current). Empty table -> empty DF with
@@ -599,14 +708,17 @@ class Catalog:
         zero-copy shares). Returns snapshots removed. Time travel back
         past the horizon is no longer possible — same contract as
         Iceberg's expire_snapshots."""
-        m = self._load_manifest(table)
-        if len(m["snapshots"]) <= keep_last:
-            return 0
-        keep_ids = {s["id"] for s in m["snapshots"][-keep_last:]} | {m["current"]}
-        before = len(m["snapshots"])
-        m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep_ids]
-        self._commit_manifest(table, m)
-        return before - len(m["snapshots"])
+        def mutate(m: dict) -> int:
+            if len(m["snapshots"]) <= keep_last:
+                return 0
+            keep_ids = {s["id"] for s in m["snapshots"][-keep_last:]} | {
+                m["current"]
+            }
+            before = len(m["snapshots"])
+            m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep_ids]
+            return before - len(m["snapshots"])
+
+        return self._locked_commit(table, mutate)
 
     def vacuum(self) -> int:
         """Delete data files no snapshot of ANY table references (safe
@@ -800,10 +912,12 @@ class Catalog:
         """Reset ``current`` to an earlier snapshot and discard later ones
         (used on resume so a half-finished round's appends are undone;
         orphaned data files are ignored by the manifest)."""
-        m = self._load_manifest(table)
-        m["snapshots"] = [s for s in m["snapshots"] if s["id"] <= snapshot]
-        m["current"] = snapshot
-        self._commit_manifest(table, m)
+        def mutate(m: dict) -> int:
+            m["snapshots"] = [s for s in m["snapshots"] if s["id"] <= snapshot]
+            m["current"] = snapshot
+            return snapshot
+
+        self._locked_commit(table, mutate)
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self._dir(table), ignore_errors=True)
