@@ -25,6 +25,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # noqa: F401  (resolves PEP 563 hints in the warmup UDF)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -55,8 +57,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         _force(first(spark, sf_dir))
     # spin up the Python UDF workers once (spark.python.worker.reuse keeps
     # them alive) so the first Arrow-UDF query isn't charged ~5s of
-    # one-time worker-pool launch
-    import pandas as pd  # noqa: F401
+    # one-time worker-pool launch. NB: under PEP 563 the hint strings
+    # resolve against the function's module globals, so pandas must be
+    # imported at module level (a local import here breaks pandas_udf).
     from pyspark.sql import functions as F
 
     @F.pandas_udf("long")

@@ -119,12 +119,82 @@ class Catalog:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path(table))  # atomic commit point
 
+    # -- branches (write-audit-publish) --------------------------------------
+    # ``main`` is the manifest's ``current`` pointer; named branches live in
+    # ``refs`` as extra snapshot pointers. Snapshot ids are unique across
+    # branches (``_next_sid``), each commit records its ``parent``, and
+    # ``publish`` fast-forwards main only when main is an ancestor of the
+    # branch head — the Iceberg WAP workflow: stage a round's commits on an
+    # audit branch, validate counts/invariants against the staged snapshot,
+    # then publish atomically (or drop the branch and nothing ever showed
+    # on main).
+    @staticmethod
+    def _next_sid(m: dict) -> int:
+        ids = [s["id"] for s in m["snapshots"]]
+        return max([m["current"], *ids], default=m["current"]) + 1
+
+    @staticmethod
+    def _base_sid(m: dict, branch: str | None) -> int:
+        if branch is None:
+            return m["current"]
+        refs = m.get("refs", {})
+        if branch not in refs:
+            raise KeyError(f"unknown branch {branch!r}")
+        return refs[branch]
+
+    def create_branch(
+        self, table: str, name: str, at_snapshot: int | None = None
+    ) -> int:
+        """Create (or reset) a named branch pointing at ``at_snapshot``
+        (default: current main)."""
+
+        def mutate(m: dict) -> int:
+            at = m["current"] if at_snapshot is None else at_snapshot
+            m.setdefault("refs", {})[name] = at
+            return at
+
+        return self._locked_commit(table, mutate)
+
+    def drop_branch(self, table: str, name: str) -> None:
+        """Abandon a branch (its staged snapshots stay in the manifest for
+        time travel until expire, but nothing references them)."""
+
+        def mutate(m: dict) -> int:
+            m.get("refs", {}).pop(name, None)
+            return m["current"]
+
+        self._locked_commit(table, mutate)
+
+    def publish(self, table: str, branch: str) -> int:
+        """Fast-forward main to the branch head. Requires main to be an
+        ancestor of the head (nothing landed on main since the fork) —
+        otherwise raises :class:`CommitConflict` and the caller re-stages
+        against the new main. Deletes the branch ref on success."""
+
+        def mutate(m: dict) -> int:
+            head = self._base_sid(m, branch)
+            by_id = {s["id"]: s for s in m["snapshots"]}
+            cur = head
+            while cur != m["current"]:
+                parent = by_id.get(cur, {}).get("parent")
+                if parent is None:
+                    raise CommitConflict(
+                        f"publish: main {table}@{m['current']} is not an "
+                        f"ancestor of branch {branch!r}@{head} — re-stage"
+                    )
+                cur = parent
+            m["current"] = head
+            m.get("refs", {}).pop(branch, None)
+            return head
+
+        return self._locked_commit(table, mutate)
+
     # -- public API ----------------------------------------------------------
     def exists(self, table: str) -> bool:
         return os.path.exists(self._manifest_path(table))
 
-    def current_snapshot(self, table: str) -> int:
-        return self._load_manifest(table)["current"]
+    def current_snapshot(self, table: str, branch: str | None = None) -> int:
+        return self._base_sid(self._load_manifest(table), branch)
 
     def _write_files(self, table: str, df: DataFrame) -> tuple[list[str], int]:
         """Stage-write then move into place; returns (files, rows) — the
@@ -277,6 +347,7 @@ class Catalog:
         meta: dict | None = None,
         stat_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        branch: str | None = None,
     ) -> int:
         """Append rows as a new snapshot; returns the snapshot id. The
         snapshot meta records ``rows_delta`` (rows in THIS append) and
@@ -284,30 +355,37 @@ class Catalog:
         partition, rows from the parquet footers). ``stat_cols`` opts the
         new files into manifest min/max stats for ``read_range`` skipping;
         ``bloom_cols`` opts them into per-file blooms for ``read_point``.
+        ``branch`` stages the commit on a named ref instead of main
+        (write-audit-publish; see ``create_branch``/``publish``).
 
         Concurrency: the data write and stats/bloom computation happen
         outside the commit lock; the manifest entry rebases onto whatever
-        is current at commit time, so concurrent appends to one table
-        all land (tests/test_concurrent_commits.py)."""
+        the target ref points at by commit time, so concurrent appends to
+        one table all land (tests/test_concurrent_commits.py)."""
         files, file_rows = self._write_files(table, df)
         stats_d = self._compute_stats(table, files, stat_cols)
         blooms_d = self._compute_blooms(table, files, bloom_cols)
 
         def mutate(m: dict) -> int:
             self._merge_file_meta(m, stats_d, blooms_d)
-            prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
+            base_sid = self._base_sid(m, branch)
+            prev = [s for s in m["snapshots"] if s["id"] == base_sid]
             base = prev[0]["files"] if prev else []
-            sid = m["current"] + 1
+            sid = self._next_sid(m)
             m["snapshots"].append(
                 {
                     "id": sid,
+                    "parent": base_sid,
                     "files": base + files,
                     "meta": dict(
                         meta or {}, rows_delta=sum(file_rows), file_rows=file_rows
                     ),
                 }
             )
-            m["current"] = sid
+            if branch is None:
+                m["current"] = sid
+            else:
+                m["refs"][branch] = sid
             return sid
 
         return self._locked_commit(table, mutate)
@@ -346,10 +424,11 @@ class Catalog:
         def mutate(m: dict) -> int:
             prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
             base = prev[0]["files"] if prev else []
-            sid = m["current"] + 1
+            sid = self._next_sid(m)
             m["snapshots"].append(
                 {
                     "id": sid,
+                    "parent": m["current"],
                     "files": base + [os.path.join("data", name)],
                     "meta": dict(meta or {}, rows_delta=len(rows)),
                 }
@@ -375,10 +454,11 @@ class Catalog:
 
         def mutate(m: dict) -> int:
             self._merge_file_meta(m, stats_d, blooms_d)
-            sid = m["current"] + 1
+            sid = self._next_sid(m)
             m["snapshots"].append(
                 {
                     "id": sid,
+                    "parent": m["current"],
                     "files": files,
                     "meta": dict(
                         meta or {}, rows_delta=sum(file_rows), file_rows=file_rows
@@ -487,10 +567,11 @@ class Catalog:
                     f"is {m['current']} — re-plan against the new snapshot"
                 )
             self._merge_file_meta(m, stats_d, {})
-            sid = m["current"] + 1
+            sid = self._next_sid(m)
             m["snapshots"].append(
                 {
                     "id": sid,
+                    "parent": base_sid,
                     "files": kept + files,
                     "meta": {
                         "op": "merge",
@@ -562,10 +643,11 @@ class Catalog:
             m["props"] = props or new_props
             prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
             base = prev[0]["files"] if prev else []
-            sid = m["current"] + 1
+            sid = self._next_sid(m)
             m["snapshots"].append(
                 {
                     "id": sid,
+                    "parent": m["current"],
                     "files": base + files,
                     "meta": dict(meta or {}, rows_delta=rows, file_rows=file_rows),
                 }
@@ -575,15 +657,22 @@ class Catalog:
 
         return self._locked_commit(table, mutate)
 
-    def read(self, table: str, schema: StructType, snapshot: int | None = None) -> DataFrame:
-        """Read a snapshot (default: current). Empty table -> empty DF with
-        the declared schema, so pipelines need no existence branches.
-        Honors table-level ``column_map``/``row_filter`` props set by
-        zero-copy ``append_files``."""
+    def read(
+        self,
+        table: str,
+        schema: StructType,
+        snapshot: int | None = None,
+        branch: str | None = None,
+    ) -> DataFrame:
+        """Read a snapshot (default: current main; ``branch`` reads a
+        staged ref head). Empty table -> empty DF with the declared
+        schema, so pipelines need no existence branches. Honors
+        table-level ``column_map``/``row_filter`` props set by zero-copy
+        ``append_files``."""
         from pyspark.sql import functions as F
 
         m = self._load_manifest(table)
-        sid = m["current"] if snapshot is None else snapshot
+        sid = self._base_sid(m, branch) if snapshot is None else snapshot
         snaps = [s for s in m["snapshots"] if s["id"] == sid]
         files = snaps[0]["files"] if snaps else []
         if not files:
@@ -711,9 +800,11 @@ class Catalog:
         def mutate(m: dict) -> int:
             if len(m["snapshots"]) <= keep_last:
                 return 0
-            keep_ids = {s["id"] for s in m["snapshots"][-keep_last:]} | {
-                m["current"]
-            }
+            keep_ids = (
+                {s["id"] for s in m["snapshots"][-keep_last:]}
+                | {m["current"]}
+                | set(m.get("refs", {}).values())  # staged branch heads
+            )
             before = len(m["snapshots"])
             m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep_ids]
             return before - len(m["snapshots"])
@@ -915,6 +1006,9 @@ class Catalog:
         def mutate(m: dict) -> int:
             m["snapshots"] = [s for s in m["snapshots"] if s["id"] <= snapshot]
             m["current"] = snapshot
+            refs = m.get("refs", {})
+            for name in [n for n, v in refs.items() if v > snapshot]:
+                del refs[name]  # branch heads past the rollback point dangle
             return snapshot
 
         self._locked_commit(table, mutate)
