@@ -481,6 +481,48 @@ FROM events GROUP BY ROLLUP (1, 2)
 """
 
 
+def q_cube_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the corpus dimensions: every (source, lang) combination
+    plus both marginals and the grand total in one pass — the OLAP
+    summary a curation dashboard reads (all-integer measures, so the
+    grouping-set expansion is engine-exact)."""
+    d = load(spark, sf_dir, "documents")
+    return d.cube("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SQL_CUBE_SOURCE_LANG = """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (1, 2)
+"""
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot the event log to one row per user with a count column per
+    event type (explicit value list — no extra distinct pass, and the
+    output schema is static as a contract query needs). Spark's pivot
+    yields NULL for absent cells; coalesced to 0 to match the FILTER
+    aggregation the oracle uses."""
+    e = load(spark, sf_dir, "events")
+    p = e.groupBy("user_id").pivot("event_type", PIVOT_EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_EVENT_TYPES],
+    )
+
+
+SQL_PIVOT_EVENT_TYPE_COUNTS = "SELECT user_id, " + ", ".join(
+    f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+    for t in PIVOT_EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
 # ---------------------------------------------------------------------------
 # as-of join (round 3) — the classic operator Spark's DataFrame API lacks
 # as a primitive: for every purchase, the user's LATEST click at or
@@ -764,6 +806,11 @@ QUERIES = {
     "span_explode": (q_span_explode, SQL_SPAN_EXPLODE),
     "channel_staleness": (q_channel_staleness, SQL_CHANNEL_STALENESS),
     "daily_rollup": (q_daily_rollup, SQL_DAILY_ROLLUP),
+    "cube_source_lang": (q_cube_source_lang, SQL_CUBE_SOURCE_LANG),
+    "pivot_event_type_counts": (
+        q_pivot_event_type_counts,
+        SQL_PIVOT_EVENT_TYPE_COUNTS,
+    ),
     "asof_join_attribution": (q_asof_join_attribution, SQL_ASOF_JOIN_ATTRIBUTION),
     "range_join_time_band": (q_range_join_time_band, SQL_RANGE_JOIN_TIME_BAND),
     "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),

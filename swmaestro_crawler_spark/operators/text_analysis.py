@@ -408,19 +408,29 @@ def _bigrams(ws) -> Column:
 
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    bg = d.select(
+    occ = d.select(
         "doc_id", F.explode(_bigrams(words(F.col("text")))).alias("bg")
     ).withColumn("w1", F.split(F.col("bg"), " ", 2)[0])
-    cnt = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
-    pfx = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("pw"))
+    # collapse the occurrence stream to per-(doc, bigram) counts FIRST and
+    # persist: the regex tokenization + explode run once instead of three
+    # times, and the model aggregations + score join all work over the
+    # much smaller distinct-bigram-per-doc table (sum(nb) reproduces every
+    # occurrence-level count exactly)
+    db = occ.groupBy("doc_id", "bg", "w1").agg(F.count(F.lit(1)).alias("nb"))
+    db.persist()
+    cnt = db.groupBy("bg").agg(F.sum("nb").alias("cb"))
+    pfx = db.groupBy("w1").agg(F.sum("nb").alias("pw"))
     scored = (
-        bg.join(cnt, "bg")
+        db.join(cnt, "bg")
         .join(pfx, "w1")
         .withColumn("cm", F.expr(f"({LM_SCALE} * cb) div pw"))
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("cm").alias("sum_milli"))
+        .agg(
+            F.sum("nb").alias("n_bigrams"),
+            F.sum(F.col("nb") * F.col("cm")).alias("sum_milli"),
+        )
         .select(
             "doc_id",
             "n_bigrams",
