@@ -161,9 +161,23 @@ def parse_work(url_hash, iters: int) -> int:
     if iters <= 0 or len(url_hash) == 0:
         return 0
     x = _uh(url_hash).copy()
+    t = np.empty_like(x)
+    # in-place passes: one reused scratch buffer instead of ~4 fresh
+    # temporaries per pass — under 8+ concurrent workers the allocator
+    # and cache churn of the temporary-chain measurably degrades
+    # multi-core scaling on shared-LLC hosts, and the stand-in's job is
+    # to SCALE like compute, not to stress the allocator
     with np.errstate(over="ignore"):
         for _ in range(iters):
-            x = _splitmix64_np(x)
+            x += np.uint64(0x9E3779B97F4A7C15)
+            np.right_shift(x, np.uint64(30), out=t)
+            x ^= t
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            np.right_shift(x, np.uint64(27), out=t)
+            x ^= t
+            x *= np.uint64(0x94D049BB133111EB)
+            np.right_shift(x, np.uint64(31), out=t)
+            x ^= t
     return int(x[0] & np.uint64(1))
 
 
