@@ -67,6 +67,7 @@ def _all_modules():
         similarity,
         sketches,
         text_analysis,
+        urlspace,
         zorder,
     )
     from swmaestro_crawler_spark.streaming import (
@@ -85,6 +86,7 @@ def _all_modules():
         similarity,
         kmeans,
         sketches,
+        urlspace,
         zorder,
         packing,
         multimodal,
