@@ -28,6 +28,9 @@ class CrawlConfig:
     max_depth: int = 4
     max_attempts: int = 5            # reference: retries=5
     per_host_cap: int = 1000         # hard cap on admissions per host per round
+    trap_template_cap: int | None = None  # max admissions per (host, URL template)
+    #                                per round (spider-trap guard; None = off,
+    #                                the reference-parity setting)
 
     # partitioning (fixed, cluster-size independent — required for
     # deterministic crawl order and byte-identical resume)
@@ -58,6 +61,8 @@ class CrawlConfig:
             raise ValueError("bloom_bits must be a positive multiple of 64")
         if self.bloom_hashes < 1:
             raise ValueError("bloom_hashes must be >= 1")
+        if self.trap_template_cap is not None and self.trap_template_cap < 1:
+            raise ValueError("trap_template_cap must be >= 1 (or None to disable)")
         if not (0.0 <= self.synth_fail_prob < 1.0):
             raise ValueError("synth_fail_prob must be in [0, 1)")
         if not (0.0 <= self.synth_fatal_prob < 1.0):

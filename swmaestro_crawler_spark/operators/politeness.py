@@ -159,6 +159,54 @@ def dedup_frontier(frontier: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Spider-trap guard (opt-in; reference parity needs the cap OFF — the
+# reference's curated YouTube-id frontier has no adversarial URL space)
+# ---------------------------------------------------------------------------
+TEMPLATE_PLACEHOLDER = "N"
+
+
+def url_template(url):
+    """Digit runs collapsed to a placeholder — calendar pages, session-id
+    query strings, and paginated facets all collapse onto one template
+    (the same definition as the offline analytics in
+    operators/urlspace.py, so the trap flags that operator mines on the
+    standing crawl_order table apply directly to admission)."""
+    return F.regexp_replace(url, "[0-9]+", TEMPLATE_PLACEHOLDER)
+
+
+def cap_per_template(
+    frontier: DataFrame, cfg: CrawlConfig, order: list | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, overflow): at most ``cfg.trap_template_cap`` frontier rows
+    per (host, URL template) proceed to politeness admission per round;
+    the overflow stays pending (it is re-considered next round, so a
+    mis-flagged template is throttled, never dropped — and a true trap
+    is bounded to cap x rounds URLs instead of devouring the frontier).
+
+    Skew-safety is the split_admitted two-phase shape verbatim: a trap
+    template IS the hot key by definition, so phase 1 ranks within
+    (host, template, salt-sub-bucket) — spreading the trap over
+    ``admission_salts`` reducers — and phase 2 ranks only the bounded
+    survivors exactly. Ordering is the engine priority key, so the kept
+    set is deterministic at any cluster size."""
+    if order is None:
+        order = priority_order()
+    cap = F.lit(int(cfg.trap_template_cap))
+    tpl = url_template(F.col("url"))
+    sub = F.pmod(F.col("url_hash"), F.lit(max(1, cfg.admission_salts)))
+    w1 = Window.partitionBy("host", tpl, sub).orderBy(*order)
+    ranked1 = frontier.withColumn("_trank1", F.row_number().over(w1))
+    cand = ranked1.filter(F.col("_trank1") <= cap)
+    over1 = ranked1.filter(F.col("_trank1") > cap).drop("_trank1")
+
+    w2 = Window.partitionBy("host", tpl).orderBy(*order)
+    ranked2 = cand.withColumn("_trank2", F.row_number().over(w2))
+    kept = ranked2.filter(F.col("_trank2") <= cap).drop("_trank1", "_trank2")
+    over2 = ranked2.filter(F.col("_trank2") > cap).drop("_trank1", "_trank2")
+    return kept, over1.unionByName(over2)
+
+
+# ---------------------------------------------------------------------------
 # Importance-weighted admission (opt-in; reference parity needs LIFO)
 # ---------------------------------------------------------------------------
 def url_graph(crawled: DataFrame) -> DataFrame:

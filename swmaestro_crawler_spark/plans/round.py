@@ -26,6 +26,7 @@ from ..config import CrawlConfig
 from ..functions.canonical import with_canonical
 from ..operators.fetch import FETCHED, fetch_stage
 from ..operators.politeness import (
+    cap_per_template,
     priority_order,
     dedup_frontier,
     split_admitted,
@@ -234,9 +235,20 @@ def run_round_critical(
     bitmap_bc = spark.sparkContext.broadcast(bloom.tobytes())
     unseen = filter_unseen(allowed, seen, bitmap_bc, cfg.bloom_hashes).persist()
 
-    # 4. politeness admission (rank vs crawl-delay budget)
-    admitted_df, deferred_df = split_admitted(unseen, robots, cfg)
+    # 4. politeness admission (rank vs crawl-delay budget), optionally
+    #    preceded by the spider-trap guard: at most trap_template_cap
+    #    rows per (host, URL template) enter admission this round, the
+    #    overflow stays pending (operators/politeness.py cap_per_template;
+    #    off by default — reference parity has no adversarial URL space)
+    trap_overflow = None
+    if cfg.trap_template_cap is not None:
+        unseen_capped, trap_overflow = cap_per_template(unseen, cfg)
+    else:
+        unseen_capped = unseen
+    admitted_df, deferred_df = split_admitted(unseen_capped, robots, cfg)
     deferred_df = deferred_df.select(*FRONTIER_COLS)
+    if trap_overflow is not None:
+        deferred_df = deferred_df.unionByName(trap_overflow.select(*FRONTIER_COLS))
     admitted_df = admitted_df.withColumn("fingerprint", F.hash(F.col("url")))
 
     # 5. salted-bucket batch fetch -> ROUND SCRATCH TABLE. One fused

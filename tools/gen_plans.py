@@ -41,6 +41,10 @@ def main() -> None:
     from swmaestro_crawler_spark.operators.packing import q_corpus_shard_pack
     from swmaestro_crawler_spark.operators.relational import QUERIES as REL_Q
     from swmaestro_crawler_spark.operators.similarity import q_embedding_neardup_pairs
+    from swmaestro_crawler_spark.operators.urlspace import (
+        q_boilerplate_ngrams,
+        q_url_trap_templates,
+    )
     from swmaestro_crawler_spark.plans.crawl import seeds_to_frontier
     from swmaestro_crawler_spark.sources.synth_web import make_seeds
     from pyspark.sql import functions as F
@@ -102,6 +106,16 @@ def main() -> None:
             "Semantic dedup over trained cells (joinless assignment -> cluster-keyed pair join)",
             "`operators/kmeans.py q_semantic_dedup`",
             q_semantic_dedup(spark, SF),
+        ),
+        (
+            "Spider-trap URL templates (codegen template collapse -> two-phase distinct count)",
+            "`operators/urlspace.py q_url_trap_templates`",
+            q_url_trap_templates(spark, SF),
+        ),
+        (
+            "Boilerplate bigrams (hashed grams only shuffle; broadcast source doc counts)",
+            "`operators/urlspace.py q_boilerplate_ngrams`",
+            q_boilerplate_ngrams(spark, SF),
         ),
     ]
 
