@@ -35,3 +35,47 @@ def load_seed_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def write_seed_csv(df: DataFrame, path: str) -> None:
     """Diagnostic CSV sink (reference K7: seed lists/error dumps to CSV)."""
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+LOC_RE = "<loc>([^<]+)</loc>"
+LASTMOD_RE = "<lastmod>([^<]+)</lastmod>"
+
+
+def seeds_from_sitemap_bodies(bodies: DataFrame) -> DataFrame:
+    """(host, xml) -> SEEDS rows: every ``<loc>`` URL becomes a seed,
+    ranked by its position in the sitemap (publishers order sitemaps by
+    importance), category ``sitemap:<host>``.
+
+    The XML never leaves the JVM: ``regexp_extract_all`` + ``posexplode``
+    are whole-stage-codegen expressions (the plan shows no Python
+    evaluation node — pinned by tests/test_sitemap_seeds.py), so a
+    10^6-host sitemap sweep is one narrow scan, shuffle-free until the
+    frontier union. Malformed/empty sitemaps yield zero rows (explode of
+    an empty array) — the same silent-skip the CSV path applies."""
+    from pyspark.sql import functions as F
+
+    locs = F.expr(f"regexp_extract_all(xml, '{LOC_RE}', 1)")
+    return (
+        bodies.select("host", F.posexplode(locs).alias("pos", "url"))
+        .select(
+            "url",
+            F.concat(F.lit("sitemap:"), F.col("host")).alias("category"),
+            F.lit("sitemap").alias("rank_kind"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+    )
+
+
+def synth_sitemap_bodies(
+    spark: SparkSession, cfg, host_names: list[str], n_urls: int = 20
+) -> DataFrame:
+    """(host, xml) frame from the synthetic web's deterministic sitemap
+    generator — the sandbox stand-in for fetching ``/sitemap.xml``
+    through the batch transport (swap the body column's source for a
+    fetch stage in production; the parse side is identical)."""
+    from .synth_web import sitemap_xml_for_host
+
+    return spark.createDataFrame(
+        [(h, sitemap_xml_for_host(h, cfg, n_urls)) for h in host_names],
+        "host string, xml string",
+    )

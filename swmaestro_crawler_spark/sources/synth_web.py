@@ -391,6 +391,31 @@ def robots_txt_for_host(host: str, cfg: CrawlConfig) -> str:
     return "\n".join(lines)
 
 
+def sitemap_xml_for_host(host: str, cfg: CrawlConfig, n_urls: int = 20) -> str:
+    """Deterministic sitemap.xml BODY for a host — the open-web analogue
+    of the reference's curated CSV seed lists (Utils/Nox_Crawler.py:115):
+    a site publishes its own entry points, the crawler bulk-ingests them.
+    Same determinism scheme as robots_txt_for_host: content is a pure
+    function of (host, synth_seed), so seed extraction is replayable."""
+    rng = _rng("sitemap", host, str(cfg.synth_seed))
+    entries = []
+    for i in range(n_urls):
+        path = _new_path(rng)
+        day = 1 + int(rng.integers(0, 28))
+        entries.append(
+            "  <url>\n"
+            f"    <loc>http://{host}{path}</loc>\n"
+            f"    <lastmod>2024-01-{day:02d}</lastmod>\n"
+            "  </url>"
+        )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        + "\n".join(entries)
+        + "\n</urlset>\n"
+    )
+
+
 def make_seeds(cfg: CrawlConfig, n_seeds: int = 100) -> list[dict]:
     """Deterministic seed list mirroring the Nox/Vling category rankings
     (Utils/Nox_Crawler.py:86-113): 15 categories x 4 rank orders."""
