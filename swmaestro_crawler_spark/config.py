@@ -44,6 +44,15 @@ class CrawlConfig:
     bloom_bits: int = 1 << 22        # 4 Mi bits (test scale); size for n at prod
     bloom_hashes: int = 5
 
+    # cuckoo tier (optional middle tier of the seen stack: bloom ->
+    # cuckoo -> exact anti-join; None = off). 16-bit fingerprints at
+    # ~1e-4 FP re-probe the bloom's false positives so only a sliver
+    # pays the exact-confirm shuffle; FN-free, so digests are identical
+    # either way. Size parts*buckets*slots >= ~1.05x expected seen URLs.
+    cuckoo_buckets: int | None = None  # buckets PER SHARD; power of two
+    cuckoo_slots: int = 4
+    cuckoo_parts: int = 8            # disjoint key shards (mod url_hash)
+
     # storage
     warehouse: str = "./warehouse"
 
@@ -63,6 +72,11 @@ class CrawlConfig:
             raise ValueError("bloom_hashes must be >= 1")
         if self.trap_template_cap is not None and self.trap_template_cap < 1:
             raise ValueError("trap_template_cap must be >= 1 (or None to disable)")
+        if self.cuckoo_buckets is not None:
+            if self.cuckoo_buckets < 2 or self.cuckoo_buckets & (self.cuckoo_buckets - 1):
+                raise ValueError("cuckoo_buckets must be a power of two >= 2")
+            if self.cuckoo_parts < 1 or self.cuckoo_slots < 1:
+                raise ValueError("cuckoo_parts and cuckoo_slots must be >= 1")
         if not (0.0 <= self.synth_fail_prob < 1.0):
             raise ValueError("synth_fail_prob must be in [0, 1)")
         if not (0.0 <= self.synth_fatal_prob < 1.0):

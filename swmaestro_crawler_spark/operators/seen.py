@@ -116,17 +116,31 @@ def bloom_probe(df: DataFrame, bitmap_bc, k: int,
     return df.mapInPandas(probe, out_schema)
 
 
-def filter_unseen(frontier: DataFrame, seen: DataFrame, bitmap_bc, k: int) -> DataFrame:
+def filter_unseen(
+    frontier: DataFrame, seen: DataFrame, bitmap_bc, k: int, cuckoo_bc=None
+) -> DataFrame:
     """frontier rows whose url_hash is NOT in the seen set.
 
     bloom-negative rows pass through with no shuffle; bloom-positive rows
     are confirmed by an anti-join on url_hash against the seen table.
-    Result is exactly ``frontier ANTI JOIN seen`` (bloom has no false
-    negatives), just cheaper.
+    With the optional cuckoo tier on (``cuckoo_bc``: broadcast
+    (P, B, S) fingerprint tables), bloom positives are re-probed at the
+    cuckoo's ~1e-4 FP rate first, so only its positives — truth plus a
+    sliver of double-FPs — reach the anti-join shuffle. Every tier is
+    FN-free, so the result is exactly ``frontier ANTI JOIN seen`` in all
+    configurations, just cheaper.
     """
     probed = bloom_probe(frontier, bitmap_bc, k)
     negatives = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    if cuckoo_bc is not None:
+        from .cuckoo import cuckoo_probe_stage
+
+        cprobed = cuckoo_probe_stage(positives, cuckoo_bc)
+        negatives = negatives.unionByName(
+            cprobed.filter(~F.col("cuckoo_seen")).drop("cuckoo_seen")
+        )
+        positives = cprobed.filter(F.col("cuckoo_seen")).drop("cuckoo_seen")
     confirmed_unseen = positives.join(seen.select("url_hash"), "url_hash", "left_anti")
     return negatives.unionByName(confirmed_unseen)
 

@@ -28,7 +28,7 @@ from ..config import CrawlConfig
 from ..functions.canonical import with_canonical
 from ..operators.politeness import synth_robots
 from ..operators.seen import empty_bloom
-from ..schema import FRONTIER, ROBOTS
+from ..schema import FRONTIER, ROBOTS, SEEN
 from .round import (
     FRONTIER_COLS,
     RoundResult,
@@ -72,8 +72,15 @@ class Crawl:
     def _bloom_path(self, r: int) -> str:
         return os.path.join(self.cat.warehouse, f"bloom-r{r}.npy")
 
+    def _cuckoo_path(self, r: int) -> str:
+        return os.path.join(self.cat.warehouse, f"cuckoo-r{r}.npy")
+
     def _write_checkpoint(
-        self, r: int, bloom: np.ndarray, sids: dict[str, int] | None = None
+        self,
+        r: int,
+        bloom: np.ndarray,
+        sids: dict[str, int] | None = None,
+        cuckoo_tables: np.ndarray | None = None,
     ) -> None:
         """``sids`` pins per-table snapshot ids AS OF round r — required
         when the round's deferred bookkeeping overlaps the next round
@@ -89,6 +96,9 @@ class Crawl:
             },
             "bloom": os.path.basename(self._bloom_path(r)),
         }
+        if cuckoo_tables is not None:
+            np.save(self._cuckoo_path(r), cuckoo_tables)
+            ckpt["cuckoo"] = os.path.basename(self._cuckoo_path(r))
         tmp = self._ckpt_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(ckpt, f, indent=1, sort_keys=True)
@@ -127,11 +137,26 @@ class Crawl:
             self.cat._commit_manifest(
                 t, {"snapshots": [{"id": 0, "files": [], "meta": {}}], "current": 0}
             )
-        self._write_checkpoint(-1, empty_bloom(self.cfg.bloom_bits))
+        self._write_checkpoint(
+            -1, empty_bloom(self.cfg.bloom_bits), cuckoo_tables=self._empty_cuckoo()
+        )
 
-    def resume_or_bootstrap(self, seeds: DataFrame) -> tuple[int, np.ndarray]:
-        """Returns (next_round, bloom). Rolls tables back to the last
-        committed checkpoint if a later, uncommitted round left appends."""
+    def _empty_cuckoo(self) -> np.ndarray | None:
+        if self.cfg.cuckoo_buckets is None:
+            return None
+        from ..operators.cuckoo import PartitionedCuckoo
+
+        return PartitionedCuckoo.empty(
+            self.cfg.cuckoo_parts, self.cfg.cuckoo_buckets, self.cfg.cuckoo_slots
+        ).tables
+
+    def resume_or_bootstrap(self, seeds: DataFrame) -> tuple[int, np.ndarray, object]:
+        """Returns (next_round, bloom, cuckoo | None). Rolls tables back
+        to the last committed checkpoint if a later, uncommitted round
+        left appends. The cuckoo tier resumes from its checkpointed
+        tables; a warehouse checkpointed before the tier was enabled
+        rebuilds them from the (rolled-back) seen table — one
+        distributed pass, FN-free like any other path."""
         ckpt = self._load_checkpoint()
         if ckpt is None:
             self.bootstrap(seeds)
@@ -140,7 +165,20 @@ class Crawl:
             if self.cat.current_snapshot(t) != sid:
                 self.cat.rollback(t, sid)
         bloom = np.load(os.path.join(self.cat.warehouse, ckpt["bloom"]))
-        return ckpt["round"] + 1, bloom
+        cuckoo = None
+        if self.cfg.cuckoo_buckets is not None:
+            from ..operators.cuckoo import PartitionedCuckoo, build_cuckoo_increment
+
+            if "cuckoo" in ckpt:
+                cuckoo = PartitionedCuckoo(
+                    np.load(os.path.join(self.cat.warehouse, ckpt["cuckoo"]))
+                )
+            else:
+                cuckoo = build_cuckoo_increment(
+                    self.cat.read("seen", SEEN).select("url_hash"),
+                    PartitionedCuckoo(self._empty_cuckoo()),
+                )
+        return ckpt["round"] + 1, bloom, cuckoo
 
     def requeue_dead(self, reason: str = "max_attempts") -> int:
         """Drain the dead-letter table back into the frontier — the
@@ -174,7 +212,12 @@ class Crawl:
         ckpt = self._load_checkpoint()
         if ckpt is not None:
             bloom = np.load(os.path.join(self.cat.warehouse, ckpt["bloom"]))
-            self._write_checkpoint(ckpt["round"], bloom)
+            cuckoo_tables = (
+                np.load(os.path.join(self.cat.warehouse, ckpt["cuckoo"]))
+                if "cuckoo" in ckpt
+                else None
+            )
+            self._write_checkpoint(ckpt["round"], bloom, cuckoo_tables=cuckoo_tables)
         return n
 
     def run(self, seeds: DataFrame, rounds: int | None = None) -> list[RoundResult]:
@@ -192,12 +235,12 @@ class Crawl:
         from concurrent.futures import ThreadPoolExecutor
 
         rounds = rounds if rounds is not None else self.cfg.max_rounds
-        start, bloom = self.resume_or_bootstrap(seeds)
+        start, bloom, cuckoo = self.resume_or_bootstrap(seeds)
         robots = self.cat.read("robots", ROBOTS)
 
         def _finish(h) -> RoundResult:
             res = finish_round(self.cat, h)
-            self._write_checkpoint(h.round, h.bloom, h.sids)
+            self._write_checkpoint(h.round, h.bloom, h.sids, h.cuckoo_tables)
             return res
 
         futures = []
@@ -207,7 +250,9 @@ class Crawl:
                     break  # frontier drained — reference: queue len == 0
                     # (footer stats; pending was committed by the prior
                     # round's CRITICAL phase, so no wait is needed)
-                h = run_round_critical(self.spark, self.cat, self.cfg, r, robots, bloom)
+                h = run_round_critical(
+                    self.spark, self.cat, self.cfg, r, robots, bloom, cuckoo
+                )
                 if self.cfg.overlap_bookkeeping:
                     futures.append(fin.submit(_finish, h))
                 else:

