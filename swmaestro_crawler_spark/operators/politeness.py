@@ -174,8 +174,28 @@ def url_template(url):
     return F.regexp_replace(url, "[0-9]+", TEMPLATE_PLACEHOLDER)
 
 
+def mine_trap_templates(
+    crawled: DataFrame, min_urls: int = 1000
+) -> DataFrame:
+    """(host, template) pairs whose standing URL cardinality crossed
+    ``min_urls`` — mined from any frame carrying (host, url), typically
+    the crawl_order table (the engine's own history; the offline twin
+    with share/trap telemetry is operators/urlspace.q_url_trap_templates).
+    Feed the result to ``cap_per_template(templates=...)`` to throttle
+    ONLY proven traps while every other template admits freely."""
+    return (
+        crawled.groupBy("host", url_template(F.col("url")).alias("template"))
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .filter(F.col("n_urls") >= min_urls)
+        .select("host", "template")
+    )
+
+
 def cap_per_template(
-    frontier: DataFrame, cfg: CrawlConfig, order: list | None = None
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    order: list | None = None,
+    templates: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(kept, overflow): at most ``cfg.trap_template_cap`` frontier rows
     per (host, URL template) proceed to politeness admission per round;
@@ -188,11 +208,33 @@ def cap_per_template(
     (host, template, salt-sub-bucket) — spreading the trap over
     ``admission_salts`` reducers — and phase 2 ranks only the bounded
     survivors exactly. Ordering is the engine priority key, so the kept
-    set is deterministic at any cluster size."""
+    set is deterministic at any cluster size.
+
+    With ``templates`` (a (host, template) frame, e.g. from
+    ``mine_trap_templates`` over the crawl history), ONLY flagged
+    templates are capped: unflagged rows bypass both windows entirely
+    (a left-semi/anti split on the broadcast flag table — the mined
+    trap list is tiny by construction), so the steady-state cost of the
+    guard is one broadcast probe, not a frontier-wide window."""
     if order is None:
         order = priority_order()
     cap = F.lit(int(cfg.trap_template_cap))
     tpl = url_template(F.col("url"))
+    if templates is not None:
+        flagged = F.broadcast(templates.select("host", F.col("template")))
+        keyed = frontier.withColumn("_tpl", tpl)
+        guarded = keyed.join(
+            flagged,
+            (keyed["host"] == flagged["host"]) & (keyed["_tpl"] == flagged["template"]),
+            "left_semi",
+        ).drop("_tpl")
+        bypass = keyed.join(
+            flagged,
+            (keyed["host"] == flagged["host"]) & (keyed["_tpl"] == flagged["template"]),
+            "left_anti",
+        ).drop("_tpl")
+        kept, overflow = cap_per_template(guarded, cfg, order=order)
+        return bypass.unionByName(kept), overflow
     sub = F.pmod(F.col("url_hash"), F.lit(max(1, cfg.admission_salts)))
     w1 = Window.partitionBy("host", tpl, sub).orderBy(*order)
     ranked1 = frontier.withColumn("_trank1", F.row_number().over(w1))
