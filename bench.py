@@ -97,13 +97,16 @@ def run_oracles(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3) -> dict:
+def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3, cuckoo: bool = False) -> dict:
     """Flagship crawl at bench scale; returns throughput facts.
 
     "URLs fetched+deduped/sec" counts every URL the round pipeline
     disposed of: fetched ok, failed (retry-scheduled), robots-excluded,
     and bloom/anti-join deduplicated frontier candidates.
-    """
+
+    ``cuckoo=True`` turns the seen stack's cuckoo tier on (bloom ->
+    cuckoo -> exact anti-join) for the on-vs-off comparison recorded as
+    ``crawl_cuckoo`` — digests must be identical (FN-free tiers)."""
     from swmaestro_crawler_spark.config import CrawlConfig
     from swmaestro_crawler_spark.plans.crawl import Crawl
     from swmaestro_crawler_spark.sources.synth_web import make_seeds
@@ -119,6 +122,7 @@ def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3) -> dict:
         bloom_bits=1 << 24,
         synth_n_hosts=500,
         warehouse=wh,
+        cuckoo_buckets=(1 << 12) if cuckoo else None,
     )
     try:
         crawl = Crawl(spark, cfg)
@@ -136,6 +140,9 @@ def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3) -> dict:
             "processed": processed,
             "urls_per_sec": round(processed / wall, 1),
             "fetched_per_sec": round(fetched / wall, 1),
+            "digests": {
+                t: crawl.cat.content_digest(t) for t in ("crawl_order", "seen")
+            },
         }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -194,6 +201,16 @@ def main() -> None:
     crawl = min(runs, key=lambda c: c["measured_wall_s"])
     crawl["all_walls"] = [c["measured_wall_s"] for c in runs]
     queries["crawl_3round"] = crawl["measured_wall_s"]
+
+    # one cuckoo-tier-on run: wall comparable, digests MUST equal the
+    # tier-off run (every seen tier is FN-free) — asserted, not assumed
+    t0 = time.perf_counter()
+    ck = run_crawl(spark, cuckoo=True)
+    ck["measured_wall_s"] = round(time.perf_counter() - t0, 3)
+    assert ck["digests"] == crawl["digests"], "cuckoo tier changed crawl output!"
+    crawl["cuckoo_wall_s"] = ck["measured_wall_s"]
+    crawl["cuckoo_digests_match"] = True
+    queries["crawl_3round_cuckoo"] = ck["measured_wall_s"]
 
     oracle = run_oracles(sf_dir)
     ratios = {
