@@ -110,6 +110,11 @@ def worker(cores: int) -> None:
         synth_n_hosts=N_HOSTS,
         synth_work_iters=WORK_ITERS,
         warehouse=wh,
+        # SCALING_CUCKOO=1 turns the seen stack's cuckoo tier on for the
+        # digest-equality check at frontier scale (32 shards x 2^15
+        # buckets x 4 slots = 4.2M-key capacity, ~0.47 load at 2M URLs)
+        cuckoo_buckets=(1 << 15) if os.environ.get("SCALING_CUCKOO") == "1" else None,
+        cuckoo_parts=32,
     )
     crawl = Crawl(spark, cfg)
     frontier = synth_frontier(spark, N_URLS, N_HOSTS, 32)
