@@ -244,6 +244,43 @@ def _bfs_insert(table: np.ndarray, fp0: int, b1: int, b2: int) -> None:
     table[b, int(np.argmax(table[b] == 0))] = fp0
 
 
+def cuckoo_delete(table: np.ndarray, hashes: np.ndarray) -> int:
+    """Delete ``hashes`` from ``table`` IN PLACE — the capability a bloom
+    filter structurally lacks (Fan et al. 2014 §3.3), needed when seen
+    entries expire (e.g. a revisit policy that re-opens URLs). Removes at
+    most ONE matching fingerprint copy per key, preferring bucket i1
+    (deterministic: lowest slot first), and returns the number of keys
+    actually removed. Only delete keys that were inserted: deleting a
+    never-inserted key whose fingerprint collides with a resident would
+    evict the resident's copy and break ITS no-false-negative guarantee
+    — same contract as every cuckoo filter. One engine-specific caveat:
+    ``cuckoo_insert`` stores ONE copy per (fingerprint, bucket pair), so
+    two URLs whose 16-bit fingerprints AND bucket pairs both collide
+    (~1e-9 per pair within a shard) share a copy — deleting one expires
+    both from this tier. In the seen stack that means one spurious
+    re-probe of the EXACT tier (which still has the final word), never
+    a correctness break."""
+    n_buckets, slots = table.shape
+    h = np.unique(_as_u64(np.asarray(hashes, dtype=np.int64)))
+    if h.size == 0:
+        return 0
+    fp = _fingerprints(h)
+    i1 = _bucket1(h, n_buckets)
+    i2 = _alt_bucket(i1, fp, n_buckets)
+    removed = 0
+    # group-by-bucket vectorization is possible but deletes are rare
+    # (expiry batches), and two keys may contend for one slot — the
+    # per-key loop is the correct, obviously-serializable form
+    for k in range(h.size):
+        for b in (int(i1[k]), int(i2[k])):
+            hit = np.nonzero(table[b] == fp[k])[0]
+            if hit.size:
+                table[b, int(hit[0])] = 0
+                removed += 1
+                break
+    return removed
+
+
 def cuckoo_probe_np(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     """Vectorized membership: True iff the fingerprint occupies either
     of the key's two buckets. No false negatives for inserted keys."""
@@ -288,6 +325,13 @@ class PartitionedCuckoo:
         for p in np.unique(shard):
             cuckoo_insert(self.tables[p], h[shard == p])
         return self
+
+    def delete(self, hashes: np.ndarray) -> int:
+        h = np.asarray(hashes, dtype=np.int64)
+        shard = self._shard(h)
+        return sum(
+            cuckoo_delete(self.tables[p], h[shard == p]) for p in np.unique(shard)
+        )
 
     def probe(self, hashes: np.ndarray) -> np.ndarray:
         h = np.asarray(hashes, dtype=np.int64)

@@ -105,6 +105,40 @@ def test_crawl_digests_identical_with_cuckoo_on(spark, tmp_path):
     assert digests["on"] == digests["off"]
 
 
+def test_cuckoo_and_trap_guard_compose(spark, tmp_path):
+    """Both opt-in features on together: the crawl completes, per-round
+    (host, template) admissions respect the cap, and enabling the
+    FN-free cuckoo tier on top changes no committed byte vs trap-only."""
+    import pyspark.sql.functions as F
+
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.schema import CRAWL_ORDER
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    digests = {}
+    for tag, over in (
+        ("trap", {"trap_template_cap": 2}),
+        ("both", {"trap_template_cap": 2, "cuckoo_buckets": 1 << 10}),
+    ):
+        cfg = small_cfg(str(tmp_path / tag), **over)
+        crawl = Crawl(spark, cfg)
+        res = list(crawl.run(spark.createDataFrame(make_seeds(cfg, 20)), rounds=2))
+        assert len(res) == 2 and sum(r.fetched_ok for r in res) > 0
+        order = crawl.cat.read("crawl_order", CRAWL_ORDER)
+        tpl = F.regexp_replace(F.col("url"), "[0-9]+", "N")
+        worst = (
+            order.groupBy("round", "host", tpl.alias("t"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert worst <= 2
+        digests[tag] = {
+            t: crawl.cat.content_digest(t) for t in ("crawl_order", "seen", "spans")
+        }
+    assert digests["both"] == digests["trap"]
+
+
 def test_cuckoo_resume_restores_tier(spark, tmp_path):
     """Kill after round 1, resume with the tier on: the checkpointed
     tables reload and the finished crawl matches an uninterrupted one."""

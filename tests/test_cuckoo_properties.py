@@ -60,6 +60,37 @@ def test_incremental_membership_is_monotone(a, b, parts):
         assert pc.probe(both).all()
 
 
+@settings(max_examples=100, deadline=None)
+@given(keys=keys_st, frac=st.floats(min_value=0.0, max_value=1.0))
+def test_delete_preserves_remaining_membership(keys, frac):
+    """Deleting any inserted subset keeps every remaining key a member
+    (kicked copies are found in either bucket), and the deleted keys'
+    sliver of residual positives is fingerprint-collision only."""
+    h = np.unique(np.array(keys, dtype=np.int64))
+    t = empty_cuckoo(1 << 9, 4)
+    cuckoo_insert(t, h)
+    cut = int(len(h) * frac)
+    gone, kept = h[:cut], h[cut:]
+    from swmaestro_crawler_spark.operators.cuckoo import cuckoo_delete
+
+    removed = cuckoo_delete(t, gone)
+    assert removed <= len(gone)
+    if len(kept):
+        assert cuckoo_probe_np(t, kept).all()
+
+
+def test_partitioned_delete():
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(-(2**63), 2**63 - 1, 20000, dtype=np.int64))
+    pc = PartitionedCuckoo.empty(8, 1 << 11, 4)
+    pc.insert(keys)
+    n = pc.delete(keys[:5000])
+    assert n == 5000
+    assert pc.probe(keys[5000:]).all()
+    # expired keys overwhelmingly gone (residuals = fp collisions only)
+    assert pc.probe(keys[:5000]).mean() < 0.01
+
+
 def test_filter_unseen_equals_plain_anti_join(spark):
     """With the cuckoo tier on, filter_unseen must return EXACTLY
     ``frontier ANTI JOIN seen`` — the tiers only redistribute work."""
