@@ -91,6 +91,26 @@ def parse_robots_udf(bodies: pd.Series) -> pd.DataFrame:
     return parse_robots_frame(bodies)
 
 
+SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"
+
+
+def sitemaps_from_robots_bodies(df, host_col: str = "host", body_col: str = "body"):
+    """(host, robots.txt body) -> (host, sitemap_url): every ``Sitemap:``
+    directive, which per the robots spec is section-independent (it
+    applies regardless of User-agent groups — why it is NOT part of the
+    per-agent PARSED_ROBOTS struct). Pure codegen regexp extraction, no
+    Python evaluation node; chain the result into
+    sources/seeds.seeds_from_sitemap_bodies for robots -> sitemap ->
+    frontier seed discovery."""
+    # DSL form, not F.expr: the pattern's backslash classes must reach
+    # the Java regex engine verbatim, not pass through SQL-literal
+    # escape parsing
+    locs = F.regexp_extract_all(F.col(body_col), F.lit(SITEMAP_RE), 1)
+    return df.select(
+        F.col(host_col).alias("host"), F.explode(locs).alias("sitemap_url")
+    )
+
+
 def robots_table_from_bodies(df, host_col: str = "host", body_col: str = "body"):
     """(host, robots.txt body) rows -> ROBOTS-schema DataFrame."""
     parsed = df.select(

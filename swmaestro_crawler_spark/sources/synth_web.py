@@ -386,6 +386,11 @@ def robots_txt_for_host(host: str, cfg: CrawlConfig) -> str:
         "User-agent: *",
         f"Crawl-delay: {r['crawl_delay_s']}",
         *[f"Disallow: {p}" for p in r["disallow_prefixes"]],
+        # Sitemap directives are section-independent per the spec; the
+        # structured parser ignores unknown keys, so this line changes
+        # no politeness output — it feeds sitemap DISCOVERY only
+        # (functions/robots.sitemaps_from_robots_bodies)
+        f"Sitemap: http://{host}/sitemap.xml",
         "",
     ]
     return "\n".join(lines)

@@ -67,6 +67,50 @@ def test_sitemap_seeds_drive_a_crawl(spark, tmp_path):
     assert len(results) == 1 and results[0].fetched_ok > 0
 
 
+def test_robots_sitemap_discovery_chain(spark, tmp_path):
+    """robots.txt -> Sitemap: directive -> sitemap body -> seeds: the
+    full discovery chain, with the extraction matching a python re parse
+    and the politeness parse UNCHANGED by the added directive."""
+    import pandas as pd
+
+    from swmaestro_crawler_spark.functions.robots import (
+        parse_robots_frame,
+        sitemaps_from_robots_bodies,
+    )
+    from swmaestro_crawler_spark.sources.synth_web import robots_txt_for_host
+
+    cfg = small_cfg(str(tmp_path / "wh"))
+    names = list(hosts(5))
+    bodies = spark.createDataFrame(
+        [(h, robots_txt_for_host(h, cfg)) for h in names], "host string, body string"
+    )
+    got = {(r.host, r.sitemap_url) for r in sitemaps_from_robots_bodies(bodies).collect()}
+    want = set()
+    for h in names:
+        for u in re.findall(
+            r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)", robots_txt_for_host(h, cfg)
+        ):
+            want.add((h, u))
+    assert got == want and len(got) == len(names)
+    assert all(u == f"http://{h}/sitemap.xml" for h, u in got)
+    # the structured politeness parse ignores the Sitemap directive
+    body = robots_txt_for_host(names[0], cfg)
+    with_line = parse_robots_frame(pd.Series([body]))
+    without = parse_robots_frame(
+        pd.Series(["\n".join(l for l in body.split("\n") if not l.startswith("Sitemap"))])
+    )
+    assert with_line["crawl_delay_s"].tolist() == without["crawl_delay_s"].tolist()
+    assert with_line["disallow_prefixes"].tolist() == without["disallow_prefixes"].tolist()
+    # chain: discovered hosts' sitemap bodies produce the same seeds as
+    # addressing the sitemaps directly
+    discovered_hosts = sorted(h for h, _u in got)
+    via_chain = seeds_from_sitemap_bodies(
+        synth_sitemap_bodies(spark, cfg, discovered_hosts)
+    )
+    direct = seeds_from_sitemap_bodies(synth_sitemap_bodies(spark, cfg, names))
+    assert {tuple(r) for r in via_chain.collect()} == {tuple(r) for r in direct.collect()}
+
+
 def test_malformed_sitemap_yields_no_rows(spark):
     bodies = spark.createDataFrame(
         [("h.test", "<html>not a sitemap</html>"), ("i.test", "")],
