@@ -39,6 +39,21 @@ def write_seed_csv(df: DataFrame, path: str) -> None:
 
 LOC_RE = "<loc>([^<]+)</loc>"
 LASTMOD_RE = "<lastmod>([^<]+)</lastmod>"
+SITEMAPINDEX_LOC_RE = r"<sitemap>\s*<loc>([^<]+)</loc>"
+
+
+def expand_sitemap_index(bodies: DataFrame) -> DataFrame:
+    """(host, xml) sitemap-INDEX bodies -> (host, sitemap_url): large
+    sites shard their URL space into a <sitemapindex> of child sitemaps;
+    this extracts the child locations (codegen regexp, like the <loc>
+    seed path) so the caller can fetch them and feed the result back to
+    seeds_from_sitemap_bodies. A plain <urlset> body yields zero rows
+    here (its <loc> tags are not wrapped in <sitemap>), so the two
+    extractors compose without misclassifying either format."""
+    from pyspark.sql import functions as F
+
+    locs = F.regexp_extract_all(F.col("xml"), F.lit(SITEMAPINDEX_LOC_RE), 1)
+    return bodies.select("host", F.explode(locs).alias("sitemap_url"))
 
 
 def seeds_from_sitemap_bodies(bodies: DataFrame) -> DataFrame:
@@ -51,12 +66,16 @@ def seeds_from_sitemap_bodies(bodies: DataFrame) -> DataFrame:
     evaluation node — pinned by tests/test_sitemap_seeds.py), so a
     10^6-host sitemap sweep is one narrow scan, shuffle-free until the
     frontier union. Malformed/empty sitemaps yield zero rows (explode of
-    an empty array) — the same silent-skip the CSV path applies."""
+    an empty array) — the same silent-skip the CSV path applies. Bodies
+    that are <sitemapindex> shards (their <loc> tags point at CHILD
+    sitemaps, not pages) are excluded by the <urlset> gate — route them
+    through expand_sitemap_index first."""
     from pyspark.sql import functions as F
 
     locs = F.expr(f"regexp_extract_all(xml, '{LOC_RE}', 1)")
     return (
-        bodies.select("host", F.posexplode(locs).alias("pos", "url"))
+        bodies.filter(F.col("xml").contains("<urlset"))
+        .select("host", F.posexplode(locs).alias("pos", "url"))
         .select(
             "url",
             F.concat(F.lit("sitemap:"), F.col("host")).alias("category"),

@@ -117,3 +117,34 @@ def test_malformed_sitemap_yields_no_rows(spark):
         "host string, xml string",
     )
     assert seeds_from_sitemap_bodies(bodies).count() == 0
+
+
+def test_sitemap_index_expansion(spark):
+    """<sitemapindex> shards expand to child sitemap URLs, and the seed
+    extractor refuses to read an index body as pages — the two formats
+    never cross-contaminate."""
+    from swmaestro_crawler_spark.sources.seeds import expand_sitemap_index
+
+    index_xml = (
+        '<?xml version="1.0"?>\n<sitemapindex>\n'
+        + "\n".join(
+            f"  <sitemap>\n    <loc>http://big.test/sitemap-{c}.xml</loc>\n"
+            f"    <lastmod>2024-02-0{i+1}</lastmod>\n  </sitemap>"
+            for i, c in enumerate("abc")
+        )
+        + "\n</sitemapindex>\n"
+    )
+    urlset_xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "  <url><loc>http://small.test/page</loc></url>\n</urlset>\n"
+    )
+    bodies = spark.createDataFrame(
+        [("big.test", index_xml), ("small.test", urlset_xml)],
+        "host string, xml string",
+    )
+    children = {(r.host, r.sitemap_url) for r in expand_sitemap_index(bodies).collect()}
+    assert children == {
+        ("big.test", f"http://big.test/sitemap-{c}.xml") for c in "abc"
+    }
+    seeds = seeds_from_sitemap_bodies(bodies).collect()
+    assert [(r.url, r.rank) for r in seeds] == [("http://small.test/page", 1)]
