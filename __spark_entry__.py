@@ -97,11 +97,41 @@ def _all_modules():
     )
 
 
+# Keys with no driver CORRECTNESS row in rounds 1-3 (the driver samples
+# ~50 keys in dict order per round, so never-checked keys must come
+# first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
+# the union r01-r04 covers every contract query.
+_NEVER_CHECKED_FIRST = (
+    "quality_classifier",
+    "host_reputation",
+    "lsh_bucket_stats",
+    "embedding_int8_quantize",
+    "kmeans_centroids",
+    "ann_ivf_recall",
+    "semantic_dedup",
+    "hll_distinct",
+    "kmv_distinct",
+    "countmin_heavy_hitters",
+    "url_trap_templates",
+    "boilerplate_ngrams",
+    "zorder_locality",
+    "corpus_shard_pack",
+    "streaming_dedup_exact",
+    "streaming_stream_join",
+    "streaming_exactly_once_sink",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    flat: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _all_modules():
         for name, (fn, _sql) in mod.QUERIES.items():
-            out[name] = fn
+            flat[name] = fn
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _NEVER_CHECKED_FIRST:
+        if name in flat:
+            out[name] = flat.pop(name)
+    out.update(flat)
     return out
 
 

@@ -35,7 +35,40 @@ def _force(df) -> int:
     return 0
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def _reset_session_state(spark) -> None:
+    """Between-measurement isolation (VERDICT r3 item 1b): round 3 proved
+    that one shared session degrades position-dependently (18 late-suite
+    queries read 2-10x slower on identical code+data while early-suite
+    queries stayed flat). Evict everything a query may have left behind:
+
+    - the SQL cache manager (``df.persist`` registrations),
+    - RDD-level persists (``localCheckpoint`` leaves materialized RDDs
+      that ``clearCache`` does not see),
+    - the kmeans incremental fit memo (repeats must refit, not replay).
+    """
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()  # java.util.Map
+    for jrdd in list(jmap.values()):
+        try:
+            jrdd.unpersist()
+        except Exception:
+            pass
+    try:
+        from swmaestro_crawler_spark.operators import kmeans as _km
+
+        _km._FIT_CACHE.clear()
+    except Exception:
+        pass
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    return round(mid, 3)
+
+
+def run_queries(spark, sf_dir: str, repeats: int) -> tuple[dict[str, float], dict[str, list[float]]]:
     import __spark_entry__ as entrymod
 
     # warm the JVM (codegen/JIT) and the table scans once so the first
@@ -68,12 +101,19 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     _force(spark.range(0, 10_000, 1, 32).select(_noop("id")))
 
-    out: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+    # isolated per-query measurement (VERDICT r3 item 1b): N repeats,
+    # session state reset before every run, report the MEDIAN; all walls
+    # are recorded (BENCH/bench.json "queries_walls") so variance is
+    # visible round-over-round.
+    walls: dict[str, list[float]] = {name: [] for name in qs}
+    for _rep in range(repeats):
+        for name, fn in qs.items():
+            _reset_session_state(spark)
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            walls[name].append(round(time.perf_counter() - t0, 3))
+    medians = {name: _median(ws) for name, ws in walls.items()}
+    return medians, walls
 
 
 def run_oracles(sf_dir: str) -> dict[str, float]:
@@ -186,7 +226,8 @@ def main() -> None:
     spark = spark_builder("bench", master=f"local[{cpus}]", shuffle_partitions=32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = run_queries(spark, sf_dir)
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    queries, query_walls = run_queries(spark, sf_dir, repeats)
     # best-of-2 for the crawl pipeline: at this tiny (30k-URL) scale the
     # wall is dominated by fixed per-round/job latency and swings ±40%
     # run-to-run on this host (both walls recorded in crawl.all_walls;
@@ -224,6 +265,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "queries_walls": query_walls,
+        "repeats": repeats,
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
@@ -237,22 +280,62 @@ def main() -> None:
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
             out["scaling"] = json.load(f)  # produced by tools/bench_scaling.py
-    # persist the full result for round-over-round diffs (the driver's
-    # stdout capture can truncate long lines); keep the stdout line itself
-    # to the headline keys only
+    # persist the full result for round-over-round diffs; the stdout line
+    # itself MUST stay short — the driver retains only a ~2,000-char tail
+    # and round 3's official bench record was lost to truncation
+    # (BENCH_r03.json "parsed": null). Per-query detail lives ONLY in
+    # BENCH/bench.json; stdout carries the headline aggregates plus a
+    # small fixed set of representative query walls.
     os.makedirs(bench_dir, exist_ok=True)
     with open(os.path.join(bench_dir, "bench.json"), "w") as f:
         json.dump(out, f, indent=1)
-    line = dict(out)
-    # compact stdout: per-query oracle detail lives in BENCH/bench.json
-    line.pop("oracle_queries", None)
-    line.pop("spark_vs_duckdb", None)
-    if "scaling" in line:  # compact: full record lives in BENCH/bench.json
+
+    headline_queries = [
+        "pricing_summary_agg",
+        "revenue_per_nation_join",
+        "dedup_minhash_lsh_pairs",
+        "kmeans_centroids",
+        "ann_ivf_topk",
+        "corpus_shard_pack",
+        "html_field_extract",
+        "streaming_stream_join",
+        "pagerank_purchase_graph",
+        "crawl_3round",
+        "crawl_3round_cuckoo",
+    ]
+    qsec = sorted(queries.values())
+    crawl_line = {
+        k: crawl.get(k)
+        for k in ("wall_s", "processed", "fetched_ok", "urls_per_sec", "cuckoo_digests_match")
+    }
+    crawl_line["digests12"] = {
+        k: v[:12] for k, v in crawl.get("digests", {}).items()
+    }
+    line = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: queries[k] for k in headline_queries if k in queries},
+        "n_queries": len(queries),
+        "suite_median_s": _median(qsec),
+        "suite_p90_s": qsec[int(len(qsec) * 0.9)] if qsec else None,
+        "repeats": repeats,
+        "sf": sf,
+        "cpus": cpus,
+        "crawl": crawl_line,
+        "spark_vs_duckdb_median": out["spark_vs_duckdb_median"],
+        "host_calibration": out["host_calibration"],
+        "queries_detail": "BENCH/bench.json",
+    }
+    if "scaling" in out:
         line["scaling"] = {
-            k: line["scaling"].get(k)
+            k: out["scaling"].get(k)
             for k in ("scaling_efficiency", "efficiencies", "passes")
         }
-    print(json.dumps(line))
+    payload = json.dumps(line)
+    # guard the driver-parsability fix permanently (VERDICT r3 item 8)
+    assert len(payload) < 1800, f"stdout bench line too long: {len(payload)}"
+    print(payload)
     spark.stop()
 
 

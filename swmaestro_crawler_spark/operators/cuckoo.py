@@ -99,6 +99,20 @@ def cuckoo_insert(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     i1 = _bucket1(h, n_buckets)
     i2 = _alt_bucket(i1, fp, n_buckets)
 
+    # collapse IN-BATCH (fingerprint, bucket-pair) collisions the same way
+    # cross-batch ones collapse against the table: the filter stores one
+    # copy per (fp, {i1, i2}) — two distinct hashes sharing both inside a
+    # single insert call must not place two copies, or table bytes would
+    # differ between one-call and two-call insertion of the same key set
+    # (the pair is symmetric: i2 = i1 XOR delta(fp) is an involution, so
+    # min(i1, i2) identifies it)
+    pair_key = (
+        np.minimum(i1, i2).astype(np.uint64) << np.uint64(FP_BITS)
+    ) | fp.astype(np.uint64)
+    _, keep = np.unique(pair_key, return_index=True)
+    keep.sort()
+    fp, i1, i2 = fp[keep], i1[keep], i2[keep]
+
     # pending items: fingerprint, the bucket currently being tried, the
     # other bucket of its pair, and whether it exhausted free-slot tries
     p_fp, p_cur, p_oth = fp, i1, i2
@@ -385,23 +399,31 @@ def build_cuckoo_increment(
     state_bc = spark.sparkContext.broadcast(current.tables.tobytes())
 
     def upd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: dict[int, np.ndarray] = {}
+        # accumulate each shard's hashes across ALL Arrow batches and call
+        # cuckoo_insert exactly ONCE per shard: the kernel's table bytes
+        # are a pure function of (prior table, key set) only per CALL, so
+        # per-batch insertion would make checkpointed bytes depend on
+        # Arrow batch boundaries and shuffle row order (membership and
+        # crawl digests are unaffected either way — the exact tier has
+        # the final word — but byte-determinism is the engine rule)
+        pending: dict[int, list[np.ndarray]] = {}
         for b in batches:
             h = b[hash_col].to_numpy(dtype=np.int64)
             shard = np.mod(h, parts)  # == F.pmod, keeps shard<->task 1:1
             for p in np.unique(shard):
                 p = int(p)
-                if p not in acc:
-                    acc[p] = (
-                        np.frombuffer(state_bc.value, dtype=np.uint16)
-                        .reshape(parts, n_buckets, slots)[p]
-                        .copy()
-                    )
-                cuckoo_insert(acc[p], h[shard == p])
-        if acc:
-            yield pd.DataFrame(
-                {"part": list(acc), "tbl": [t.tobytes() for t in acc.values()]}
+                pending.setdefault(p, []).append(h[shard == p])
+        if pending:
+            state = np.frombuffer(state_bc.value, dtype=np.uint16).reshape(
+                parts, n_buckets, slots
             )
+            out_parts, out_tbls = [], []
+            for p, chunks in pending.items():
+                tbl = state[p].copy()
+                cuckoo_insert(tbl, np.concatenate(chunks))
+                out_parts.append(p)
+                out_tbls.append(tbl.tobytes())
+            yield pd.DataFrame({"part": out_parts, "tbl": out_tbls})
 
     rows = (
         df.select(F.col(hash_col).alias(hash_col))

@@ -6,10 +6,12 @@ over an ``array<float>`` column for training-data curation. All
 Spark-native — the dot product is ``aggregate(zip_with(...))`` in DOUBLE
 (sequential fold, deterministic), norms likewise; zero Python UDFs.
 
-Scale path: sign-random-projection buckets (here: sign bits of the first
-SIGN_BITS dimensions — a deterministic, engine-portable projection) turn
-the O(n^2) pair space into per-bucket blocks; the brute-force variant is
-the small-n baseline and the verifier inside each block.
+Scale path: R×B hyperplane sign-LSH (NEARDUP_TABLES hash tables ×
+NEARDUP_BITS deterministic ±1 hyperplanes each, derived from sha256 —
+see ``lsh_hyperplanes``) turns the O(n^2) pair space into per-bucket
+blocks whose width scales with corpus size via ``lsh_params``; the
+brute-force variant is the small-n baseline and the verifier inside
+each block.
 
 Outputs are integer ids/ranks, never raw cosines, so the DuckDB oracle
 (which may sum in a different order) can only disagree if two similarities
@@ -24,7 +26,6 @@ from ..sources.testdata import load
 
 TOPK = 10
 N_QUERIES = 10  # vec_id < N_QUERIES form the query set
-SIGN_BITS = 8
 NEARDUP_MIN_COS = 0.40
 
 

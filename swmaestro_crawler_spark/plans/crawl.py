@@ -169,10 +169,29 @@ class Crawl:
         if self.cfg.cuckoo_buckets is not None:
             from ..operators.cuckoo import PartitionedCuckoo, build_cuckoo_increment
 
+            want_shape = self._empty_cuckoo().shape  # (P, B, S) from cfg
             if "cuckoo" in ckpt:
-                cuckoo = PartitionedCuckoo(
-                    np.load(os.path.join(self.cat.warehouse, ckpt["cuckoo"]))
-                )
+                loaded = np.load(os.path.join(self.cat.warehouse, ckpt["cuckoo"]))
+                if loaded.shape == want_shape:
+                    cuckoo = PartitionedCuckoo(loaded)
+                else:
+                    # config changed since the checkpoint (e.g. the user
+                    # enlarged the filter after an over-capacity error):
+                    # resuming with the old undersized tables would hit
+                    # the same failure with no hint why. Rebuild at the
+                    # NEW shape from the rolled-back seen table — the
+                    # same FN-free path pre-tier checkpoints take.
+                    import warnings
+
+                    warnings.warn(
+                        f"checkpointed cuckoo shape {loaded.shape} != configured "
+                        f"{want_shape}; rebuilding the tier from the seen table",
+                        stacklevel=2,
+                    )
+                    cuckoo = build_cuckoo_increment(
+                        self.cat.read("seen", SEEN).select("url_hash"),
+                        PartitionedCuckoo(self._empty_cuckoo()),
+                    )
             else:
                 cuckoo = build_cuckoo_increment(
                     self.cat.read("seen", SEEN).select("url_hash"),

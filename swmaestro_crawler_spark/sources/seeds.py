@@ -39,7 +39,6 @@ def write_seed_csv(df: DataFrame, path: str) -> None:
 
 LOC_RE = "<loc>([^<]+)</loc>"
 LASTMOD_RE = "<lastmod>([^<]+)</lastmod>"
-SITEMAPINDEX_LOC_RE = r"<sitemap>\s*<loc>([^<]+)</loc>"
 
 
 def expand_sitemap_index(bodies: DataFrame) -> DataFrame:
@@ -47,13 +46,21 @@ def expand_sitemap_index(bodies: DataFrame) -> DataFrame:
     sites shard their URL space into a <sitemapindex> of child sitemaps;
     this extracts the child locations (codegen regexp, like the <loc>
     seed path) so the caller can fetch them and feed the result back to
-    seeds_from_sitemap_bodies. A plain <urlset> body yields zero rows
-    here (its <loc> tags are not wrapped in <sitemap>), so the two
-    extractors compose without misclassifying either format."""
+    seeds_from_sitemap_bodies. Gated on the body containing
+    ``<sitemapindex`` and extracted with the plain LOC_RE — mirroring the
+    ``<urlset`` gate in seeds_from_sitemap_bodies — so a spec-legal index
+    entry with <lastmod>, comments, or attributes before its <loc> is
+    still captured (anchoring <loc> directly after <sitemap> silently
+    dropped those shards). A plain <urlset> body yields zero rows here
+    (the gate fails), so the two extractors compose without
+    misclassifying either format."""
     from pyspark.sql import functions as F
 
-    locs = F.regexp_extract_all(F.col("xml"), F.lit(SITEMAPINDEX_LOC_RE), 1)
-    return bodies.select("host", F.explode(locs).alias("sitemap_url"))
+    locs = F.regexp_extract_all(F.col("xml"), F.lit(LOC_RE), 1)
+    return (
+        bodies.filter(F.col("xml").contains("<sitemapindex"))
+        .select("host", F.explode(locs).alias("sitemap_url"))
+    )
 
 
 def seeds_from_sitemap_bodies(bodies: DataFrame) -> DataFrame:

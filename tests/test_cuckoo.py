@@ -85,6 +85,60 @@ def test_distributed_increment_matches_driver_insert(spark):
     assert not PartitionedCuckoo.empty(8, 1 << 11, 4).probe(keys).any()
 
 
+def test_increment_bytes_independent_of_arrow_batching(spark):
+    """Table BYTES (not just membership) from the distributed increment
+    equal a single driver-side insert of the same key set, even when the
+    Arrow stream splits each shard's rows into many small batches —
+    pinned by forcing tiny batches. Requires the per-shard accumulate-
+    then-insert-once form (ADVICE r3: per-batch insertion made bytes a
+    function of batch boundaries)."""
+    keys = _keys(20000, seed=23)
+    driver = PartitionedCuckoo.empty(4, 1 << 11, 4).insert(keys)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        df = spark.createDataFrame(
+            [(int(k),) for k in keys], "url_hash long"
+        ).repartition(16)
+        dist = build_cuckoo_increment(df, PartitionedCuckoo.empty(4, 1 << 11, 4))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert np.array_equal(driver.tables, dist.tables)
+
+
+def test_in_batch_fingerprint_pair_collision_stores_one_copy():
+    """Two DISTINCT hashes sharing a fingerprint AND bucket pair inside
+    one insert call collapse to one stored copy — same as when they
+    arrive in separate calls (ADVICE r3: the 'present' dedupe only
+    scanned the table, so in-batch collisions placed two copies and
+    one-call vs two-call bytes diverged)."""
+    from swmaestro_crawler_spark.operators.cuckoo import _bucket1, _fingerprints
+
+    B = 1 << 8
+    rng = np.random.default_rng(0)
+    # fix the top 16 bits => identical fingerprints; hunt a bucket collision
+    top = np.uint64(0xABCD) << np.uint64(48)
+    h = rng.integers(0, 2**48, 200_000, dtype=np.uint64) | top
+    h = np.unique(h)
+    i1 = _bucket1(h, B)
+    order = np.argsort(i1, kind="stable")
+    dup = np.nonzero(i1[order][1:] == i1[order][:-1])[0]
+    assert dup.size, "no bucket collision found — enlarge the sample"
+    pair = h[order[[dup[0], dup[0] + 1]]]
+    assert pair[0] != pair[1]
+    keys = pair.view(np.int64)
+    fp = _fingerprints(pair)[0]
+
+    one_call = empty_cuckoo(B, 4)
+    cuckoo_insert(one_call, keys)
+    assert (one_call == fp).sum() == 1  # exactly one copy
+    two_calls = empty_cuckoo(B, 4)
+    cuckoo_insert(two_calls, keys[:1])
+    cuckoo_insert(two_calls, keys[1:])
+    assert np.array_equal(one_call, two_calls)
+    assert cuckoo_probe_np(one_call, keys).all()  # still FN-free for both
+
+
 def test_crawl_digests_identical_with_cuckoo_on(spark, tmp_path):
     """The cuckoo tier is FN-free, so every committed table must be
     content-identical with the tier on vs off — it only changes how much
@@ -157,5 +211,49 @@ def test_cuckoo_resume_restores_tier(spark, tmp_path):
     start, _bloom, cuckoo = resumed.resume_or_bootstrap(spark.createDataFrame(seeds))
     assert start == 1 and cuckoo is not None
     resumed.run(spark.createDataFrame(seeds), rounds=3)
+    for t in ("crawl_order", "seen", "spans"):
+        assert full.cat.content_digest(t) == resumed.cat.content_digest(t), t
+
+
+def test_cuckoo_resume_rebuilds_on_shape_change(spark, tmp_path):
+    """Resuming with a RESIZED filter config must not silently load the
+    old-shape checkpoint (ADVICE r3: a user who enlarges the filter
+    after an over-capacity error would otherwise hit the same failure
+    again): the tier rebuilds from the seen table at the NEW shape, with
+    a warning, and the finished crawl is digest-identical to an
+    uninterrupted run."""
+    import warnings
+
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.schema import SEEN
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    cfg_small = small_cfg(str(tmp_path / "wh"), cuckoo_buckets=1 << 10)
+    seeds = make_seeds(cfg_small, 30)
+    Crawl(spark, cfg_small).run(spark.createDataFrame(seeds), rounds=1)
+
+    cfg_big = small_cfg(str(tmp_path / "wh"), cuckoo_buckets=1 << 11)
+    resumed = Crawl(spark, cfg_big)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        start, _bloom, cuckoo = resumed.resume_or_bootstrap(
+            spark.createDataFrame(seeds)
+        )
+    assert start == 1
+    assert cuckoo.tables.shape == (
+        cfg_big.cuckoo_parts,
+        cfg_big.cuckoo_buckets,
+        cfg_big.cuckoo_slots,
+    )
+    assert any("rebuilding" in str(x.message) for x in w)
+    # the rebuilt tier still covers everything seen so far (FN-free)
+    seen_hashes = np.array(
+        [r.url_hash for r in resumed.cat.read("seen", SEEN).select("url_hash").collect()],
+        dtype=np.int64,
+    )
+    assert cuckoo.probe(seen_hashes).all()
+    resumed.run(spark.createDataFrame(seeds), rounds=3)
+    full = Crawl(spark, small_cfg(str(tmp_path / "ref"), cuckoo_buckets=1 << 10))
+    full.run(spark.createDataFrame(seeds), rounds=3)
     for t in ("crawl_order", "seen", "spans"):
         assert full.cat.content_digest(t) == resumed.cat.content_digest(t), t

@@ -130,8 +130,14 @@ def test_sitemap_index_expansion(spark):
         + "\n".join(
             f"  <sitemap>\n    <loc>http://big.test/sitemap-{c}.xml</loc>\n"
             f"    <lastmod>2024-02-0{i+1}</lastmod>\n  </sitemap>"
-            for i, c in enumerate("abc")
+            for i, c in enumerate("ab")
         )
+        # spec-legal entry with <lastmod> BEFORE <loc> (and a comment):
+        # must not be dropped (ADVICE r3: anchoring <loc> after <sitemap>
+        # silently lost such shards)
+        + "\n  <sitemap>\n    <lastmod>2024-02-03</lastmod>\n"
+        "    <!-- shard c -->\n    <loc>http://big.test/sitemap-c.xml</loc>\n"
+        "  </sitemap>"
         + "\n</sitemapindex>\n"
     )
     urlset_xml = (
