@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .stream_metrics import EVENTS_SCHEMA
+from .stream_metrics import EVENTS_SCHEMA, drain_confs
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
@@ -123,15 +123,19 @@ def sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # NoTimeout state machine: the trailing no-data batch would invoke
+    # nothing, so the drain confs (small state-partition count, no empty
+    # final batch) change no output row — see stream_metrics.drain_confs
+    with drain_confs(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -24,6 +25,50 @@ EVENTS_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
+
+# State-store partition count for the bounded availableNow drains here.
+# Stateful operators spin up one state-store instance PER shuffle
+# partition (a stream-stream join runs FOUR stores per partition), and
+# every micro-batch pays a create+fsync+rename per instance: at the
+# session default of 32 partitions the join committed 128 instances and
+# burned ~78 s of aggregate commitTimeMs on ~40 k rows of state. The
+# partition count is a per-query knob locked into the checkpoint at
+# first start — a production feed sizes it to its state volume (more
+# partitions = more parallel state I/O); a bounded drain wants it small.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def drain_confs(spark: SparkSession, state_partitions: int = STREAM_STATE_PARTITIONS,
+                skip_no_data_batch: bool = True):
+    """Session confs for a bounded availableNow drain, restored on exit.
+
+    ``skip_no_data_batch`` disables the trailing empty micro-batch
+    (``noDataMicroBatches``). That batch exists to advance the watermark
+    for state EVICTION and timeout processing; none of the drains here
+    need it for OUTPUT — inner interval joins and append-mode
+    dropDuplicates emit in the data batch itself, complete-mode
+    aggregations re-emit per data batch, and the sessionizer uses
+    NoTimeout — so skipping it saves a full per-instance state commit
+    round (~5 s at 128 instances) without changing a row."""
+    confs = {"spark.sql.shuffle.partitions": str(state_partitions)}
+    if skip_no_data_batch:
+        confs["spark.sql.streaming.noDataMicroBatches.enabled"] = "false"
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def stream_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -42,15 +87,16 @@ def stream_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"stream_counts_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -94,15 +140,16 @@ def stream_sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -143,15 +190,16 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("text_md5")
     )
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -215,15 +263,16 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
     sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
