@@ -106,6 +106,16 @@ class CrawlConfig:
     # (plans/crawl.py Crawl.run)
     overlap_bookkeeping: bool = True
 
+    # importance-first admission: spend each host's politeness budget on
+    # the most-linked pending URLs first (PageRank over the round's
+    # parent->url edges, operators/politeness.frontier_scores) instead of
+    # the reference's LIFO order. OFF by default — crawl-order parity vs
+    # the reference oracle is a correctness criterion; the scored order
+    # is int64-exact and therefore still deterministic at any
+    # parallelism (pinned by tests/test_score_admission.py and the
+    # SCALING_SCORE=1 digest check in tools/bench_scaling.py)
+    score_admission: bool = False
+
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
     """SparkSession builder with the engine's standard conf.

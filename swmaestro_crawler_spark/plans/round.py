@@ -255,7 +255,17 @@ def run_round_critical(
         unseen_capped, trap_overflow = cap_per_template(unseen, cfg)
     else:
         unseen_capped = unseen
-    admitted_df, deferred_df = split_admitted(unseen_capped, robots, cfg)
+    if cfg.score_admission:
+        # importance-first scheduler: PageRank over this round's
+        # parent->url edges ranks the budgeted slots (config.py
+        # score_admission). Same two-phase skew-safe top-k underneath.
+        from ..operators.politeness import frontier_scores, score_admitted
+
+        admitted_df, deferred_df = score_admitted(
+            unseen_capped, frontier_scores(pending), robots, cfg
+        )
+    else:
+        admitted_df, deferred_df = split_admitted(unseen_capped, robots, cfg)
     deferred_df = deferred_df.select(*FRONTIER_COLS)
     if trap_overflow is not None:
         deferred_df = deferred_df.unionByName(trap_overflow.select(*FRONTIER_COLS))

@@ -64,9 +64,38 @@ def synth_frontier(spark, n_urls: int, n_hosts: int, parts: int):
     host = F.concat_ws(
         "", F.lit("host"), F.lpad(hidx.cast("string"), 4, "0"), F.lit(".example.com")
     )
-    url = F.concat_ws(
-        "", F.lit("http://"), host, F.lit("/p/"), F.lower(F.lpad(F.hex(F.col("id")), 12, "0"))
-    )
+    def url_of(idcol):
+        return F.concat_ws(
+            "", F.lit("http://"), host, F.lit("/p/"), F.lower(F.lpad(F.hex(idcol), 12, "0"))
+        )
+
+    url = url_of(F.col("id"))
+    # SCALING_SCORE=1: give the frontier a deterministic link graph
+    # (node id's parent is node id div 16 -> a 16-ary tree, hot heads)
+    # so the PageRank-scored admission path has real scores to rank by.
+    # NOTE: parent URL format must match url_of but the parent's HOST
+    # differs per id — a parent url must be the EXACT url of that parent
+    # id, so recompute host from the parent id.
+    if os.environ.get("SCALING_SCORE") == "1":
+        pid = F.expr("id div 16").cast("long")
+        pu = (F.pmod(F.xxhash64(pid, F.lit(7)), F.lit(1 << 48)).cast("double") + 0.5) / float(
+            1 << 48
+        )
+        phidx = F.least(
+            F.lit(n_hosts - 1),
+            (F.floor(F.exp(pu * float(__import__("math").log(n_hosts)))) - 1).cast("long"),
+        ).cast("int")
+        phost = F.concat_ws(
+            "", F.lit("host"), F.lpad(phidx.cast("string"), 4, "0"), F.lit(".example.com")
+        )
+        parent = F.when(
+            F.col("id") >= 16,
+            F.concat_ws(
+                "", F.lit("http://"), phost, F.lit("/p/"), F.lower(F.lpad(F.hex(pid), 12, "0"))
+            ),
+        ).cast("string")
+    else:
+        parent = F.lit(None).cast("string")
     return df.select(
         url.alias("url"),
         F.xxhash64(url).alias("url_hash"),
@@ -75,7 +104,7 @@ def synth_frontier(spark, n_urls: int, n_hosts: int, parts: int):
         F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(100_000)).alias("seq"),
         F.lit(0).cast("int").alias("round"),
         F.lit(0).cast("int").alias("attempt"),
-        F.lit(None).cast("string").alias("parent"),
+        parent.alias("parent"),
     )
 
 
@@ -115,6 +144,11 @@ def worker(cores: int) -> None:
         # buckets x 4 slots = 4.2M-key capacity, ~0.47 load at 2M URLs)
         cuckoo_buckets=(1 << 15) if os.environ.get("SCALING_CUCKOO") == "1" else None,
         cuckoo_parts=32,
+        # SCALING_SCORE=1: importance-first admission (PageRank over the
+        # frontier's parent->url edges) replaces LIFO — the production
+        # scheduler path. Digests are pinned to THEMSELVES across levels
+        # (they intentionally differ from the LIFO oracle ordering).
+        score_admission=os.environ.get("SCALING_SCORE") == "1",
     )
     crawl = Crawl(spark, cfg)
     frontier = synth_frontier(spark, N_URLS, N_HOSTS, 32)
@@ -278,6 +312,61 @@ def run_overlap_ab(cores: int = 32, repeats: int = 2) -> dict:
 
 
 REPEATS = int(os.environ.get("SCALING_REPEATS", 2))
+
+
+def run_score_check(levels=(2, 8)) -> dict:
+    """VERDICT r3 item 6: the PageRank-scored admission path (config
+    score_admission) at frontier scale. Same 2M-URL job, SCALING_SCORE=1
+    (parent links synthesized -> real scores), run at N and 4N cores:
+    digests must be identical across levels (determinism of the scored
+    order — it intentionally differs from the LIFO oracle), efficiency
+    computed on the same protocol as the primary pair. Merges a
+    ``score_admission_check`` block into BENCH/scaling.json."""
+    results = {}
+    for cores in levels:
+        print(f"== score-admission run local[{cores}] over {N_URLS:,} URLs ==", flush=True)
+        env = dict(os.environ, SCALING_SCORE="1")
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=env,
+        )
+        line = next(
+            (ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")), None
+        )
+        if line is None:
+            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+            raise SystemExit(f"score worker local[{cores}] failed")
+        results[cores] = json.loads(line[len("WORKER_RESULT "):])
+        print(json.dumps(results[cores]), flush=True)
+    a, b = levels
+    eff = round((results[b]["urls_per_sec"] / results[a]["urls_per_sec"]) / (b / a), 3)
+    block = {
+        "n_urls": N_URLS,
+        "levels": {str(c): results[c] for c in levels},
+        "efficiency": {f"{a}->{b}": eff},
+        "digests_match_across_levels": (
+            results[a]["crawl_order_digest"] == results[b]["crawl_order_digest"]
+            and results[a]["seen_digest"] == results[b]["seen_digest"]
+        ),
+        "note": (
+            "SCALING_SCORE=1: importance-first admission (PageRank over the "
+            "synthesized 16-ary parent tree) replacing LIFO. Digests pinned "
+            "across core counts; they differ from the LIFO runs above by design."
+        ),
+    }
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    summary = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            summary = json.load(f)
+    summary["score_admission_check"] = block
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(block, indent=1))
+    return block
 
 
 def _run_worker(cores: int) -> dict:
@@ -499,5 +588,7 @@ if __name__ == "__main__":
         overlap_worker(int(sys.argv[2]), sys.argv[3] == "1")
     elif len(sys.argv) > 1 and sys.argv[1] == "--overlap-ab":
         print(json.dumps(run_overlap_ab()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--score-check":
+        run_score_check()
     else:
         main()
