@@ -102,6 +102,7 @@ def _all_modules():
 # first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
+    "multimodal_av_probe",
     "quality_classifier",
     "host_reputation",
     "lsh_bucket_stats",

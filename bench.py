@@ -270,15 +270,20 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     queries, query_walls = run_queries(spark, sf_dir, repeats)
+    # the query session is DONE — stop it before the crawl subprocesses
+    # so its 32 idle executor threads + heap don't compete with the
+    # measurement JVMs (the first in-bench crawl read 242 s with the
+    # parent alive vs 33-36 s under tools/crawl_ab.py's clean protocol)
+    spark.stop()
     # crawl measurements run in FRESH subprocesses (own JVM + tmpfs
     # scratch): the shared query session degrades position-dependently
     # and the crawl ran last — its r3/r4 in-session walls (40-170 s)
-    # were contamination, not code (BENCH/crawl_ab.json). best-of-2: at
+    # were contamination, not code (BENCH/crawl_ab.json). best-of-3: at
     # this tiny (30k-URL) scale the wall is dominated by fixed
     # per-round/job latency and swings ±40% run-to-run on this host
-    # (both walls recorded; scale-representative numbers are the 1M/10M
+    # (all walls recorded; scale-representative numbers are the 1M/10M
     # rounds in BENCH/BASELINE.md)
-    runs = [_crawl_subprocess() for _ in range(2)]
+    runs = [_crawl_subprocess() for _ in range(3)]
     crawl = min(runs, key=lambda c: c["measured_wall_s"])
     crawl["all_walls"] = [c["measured_wall_s"] for c in runs]
     queries["crawl_3round"] = crawl["measured_wall_s"]
@@ -374,7 +379,6 @@ def main() -> None:
     # guard the driver-parsability fix permanently (VERDICT r3 item 8)
     assert len(payload) < 1800, f"stdout bench line too long: {len(payload)}"
     print(payload)
-    spark.stop()
 
 
 if __name__ == "__main__":

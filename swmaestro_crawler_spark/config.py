@@ -116,6 +116,14 @@ class CrawlConfig:
     # SCALING_SCORE=1 digest check in tools/bench_scaling.py)
     score_admission: bool = False
 
+    # PageRank supersteps for the admission score. 2 is plenty for a
+    # RANKING signal (we only order the budgeted top-k, we never need the
+    # converged values), and at ≤4 supersteps the scoring plan runs LAZY
+    # (no eager materialization jobs, graph.pagerank materialize=False)
+    # so it fuses into the admission job and scales with the fetch
+    # instead of adding ~14 s of flat per-round driver latency.
+    score_iters: int = 2
+
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
     """SparkSession builder with the engine's standard conf.

@@ -66,7 +66,7 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, materialize: bool = True) -> DataFrame:
     """K supersteps of fixed-point PageRank over a directed edge list
     ``(src, dst)``; returns ``(node, rank)`` with rank in PR_SCALE units.
 
@@ -82,19 +82,34 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     driver. localCheckpoint truncates the lineage itself, keeping every
     superstep's plan O(1). (On a real cluster with executor loss
     tolerance required, swap for reliable checkpoint() — the rank vector
-    is one row per node, tiny next to the edges.)"""
-    edges_d = (
-        edges.join(
-            edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
-        ).persist()
+    is one row per node, tiny next to the edges.)
+
+    ``materialize=False`` (only allowed for iters ≤ 4, where the doubled
+    logical plan stays small) skips persist and every localCheckpoint
+    and returns the fully LAZY fused plan instead: no eager
+    materialization jobs at all, so the whole iteration inlines into
+    whatever single job consumes the ranks (Catalyst reuses the repeated
+    edge-scan exchanges). This is the frontier-scoring path
+    (politeness.frontier_scores): measured at 1M edges, iters=2, the
+    fused plan runs ~2 s at BOTH local[2] and local[8] vs ~10 s eager —
+    the eager variant's per-superstep jobs are fixed driver latency that
+    does not shrink with cores and was costing the scored-admission
+    scaling run ~14 s of flat overhead per round."""
+    if not materialize and iters > 4:
+        materialize = True  # plan doubles per superstep; cap the lazy form
+    edges_d = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
     )
+    if materialize:
+        edges_d = edges_d.persist()
     ranks = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .select("node", F.lit(PR_SCALE).cast("long").alias("rank"))
-        .localCheckpoint(eager=True)
     )
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
         inbox = (
             edges_d.join(ranks, edges_d.src == ranks.node)
@@ -102,20 +117,19 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("inbox"))
         )
-        ranks = (
-            ranks.join(inbox, ranks.node == inbox.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit(PR_BASE)
-                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inbox, 0)) div {PR_DAMP_DEN}")
-                )
-                .cast("long")
-                .alias("rank"),
+        ranks = ranks.join(inbox, ranks.node == inbox.dst, "left").select(
+            "node",
+            (
+                F.lit(PR_BASE)
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(inbox, 0)) div {PR_DAMP_DEN}")
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("rank"),
         )
-    edges_d.unpersist()
+        if materialize:
+            ranks = ranks.localCheckpoint(eager=True)
+    if materialize:
+        edges_d.unpersist()
     return ranks
 
 

@@ -333,7 +333,255 @@ SELECT kind, CAST(count(*) AS BIGINT) AS n,
 FROM r GROUP BY kind
 """
 
+# ---------------------------------------------------------------------------
+# Audio/video container probing: native WAV (RIFF chunk walk) and MP4
+# (ISO-BMFF box walk) header parsing — the audio/video counterpart of the
+# PNG/JPEG/GIF image path above. Stream metadata (sample rate, channels,
+# duration, track count) lives in the container headers; no codec is
+# needed, exactly like image dimensions. The synthesized test blobs are
+# REAL valid containers (proper RIFF chunks / ISO boxes built from
+# integer functions of the media id), so the contract query verifies the
+# actual parsers against an analytic DuckDB mirror, not a toy format.
+# ---------------------------------------------------------------------------
+
+AV_META = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("duration_ms", LongType(), False),
+        StructField("n_tracks", IntegerType(), False),
+    ]
+)
+
+
+def synth_wav(media_id: int) -> bytes:
+    """A real (tiny) PCM WAV file, a pure integer function of the id:
+    RIFF/WAVE with a spec-complete fmt chunk and a data chunk of
+    deterministic sample frames. Chunk order: fmt before data, plus a
+    LIST chunk between them so the parser must actually WALK chunks
+    rather than assume fixed offsets."""
+    channels = 1 + media_id % 2
+    sample_rate = 8_000 + (media_id * 37) % 40_000
+    bits = 16
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    n_frames = 32 + media_id % 64
+    data = bytes((media_id * 17 + i) % 256 for i in range(n_frames * block_align))
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    info = b"INFOISFT" + struct.pack("<I", 6) + b"synth\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def synth_mp4(media_id: int) -> bytes:
+    """A real (minimal) ISO-BMFF file: ftyp + moov[mvhd + N×trak], all
+    box sizes correct, mvhd version 0 with deterministic timescale and
+    duration. A free box precedes moov so the parser must walk top-level
+    boxes; trak children are free boxes (track headers aren't needed for
+    the probed fields)."""
+    timescale = 1_000 * (1 + media_id % 4)
+    duration = timescale * (1 + media_id % 30) + (media_id * 7) % timescale
+    n_tracks = 1 + media_id % 3
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">BBHIIII", 0, 0, 0, 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),
+    )
+    traks = b"".join(
+        _box(b"trak", _box(b"free", bytes([(media_id + t) % 256]) * 4))
+        for t in range(n_tracks)
+    )
+    return ftyp + _box(b"free", b"\x00" * 8) + _box(b"moov", mvhd + traks)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    buf[start:end]; handles 64-bit largesize (size==1) boxes."""
+    i = start
+    while i + 8 <= end:
+        size = struct.unpack(">I", buf[i : i + 4])[0]
+        btype = buf[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            size = struct.unpack(">Q", buf[i + 8 : i + 16])[0]
+            body = i + 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < 8 or i + size > end:
+            raise ValueError("malformed ISO-BMFF: bad box size")
+        yield btype, body, i + size
+        i += size
+
+
+def _mp4_meta(blob: bytes) -> tuple[int | None, int | None, int, int]:
+    timescale = duration = None
+    n_tracks = 0
+    for btype, b0, b1 in _walk_boxes(blob, 0, len(blob)):
+        if btype != b"moov":
+            continue
+        for ctype, c0, c1 in _walk_boxes(blob, b0, b1):
+            if ctype == b"mvhd":
+                version = blob[c0]
+                if version == 1:  # 64-bit creation/modification/duration
+                    timescale = struct.unpack(">I", blob[c0 + 20 : c0 + 24])[0]
+                    duration = struct.unpack(">Q", blob[c0 + 24 : c0 + 32])[0]
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", blob[c0 + 12 : c0 + 20]
+                    )
+            elif ctype == b"trak":
+                n_tracks += 1
+    if timescale is None:
+        raise ValueError("malformed MP4: no moov/mvhd")
+    return None, None, duration * 1_000 // timescale, n_tracks
+
+
+def _wav_meta(blob: bytes) -> tuple[int | None, int | None, int, int]:
+    if blob[8:12] != b"WAVE":
+        raise ValueError("malformed RIFF: not WAVE")
+    sample_rate = channels = block_align = None
+    data_size = 0
+    i = 12
+    while i + 8 <= len(blob):
+        cid = blob[i : i + 4]
+        clen = struct.unpack("<I", blob[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            _, channels, sample_rate, _, block_align, _ = struct.unpack(
+                "<HHIIHH", blob[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            data_size = clen
+        i += 8 + clen + (clen & 1)  # RIFF chunks are 2-byte aligned
+    if sample_rate is None:
+        raise ValueError("malformed WAV: no fmt chunk")
+    n_frames = data_size // block_align
+    return int(sample_rate), int(channels), n_frames * 1_000 // sample_rate, 1
+
+
+def decode_av_meta(blob: bytes) -> tuple[str, int | None, int | None, int, int]:
+    """Probe an audio/video container header: returns
+    (container, sample_rate, channels, duration_ms, n_tracks).
+    WAV via RIFF chunk walk, MP4 via ISO-BMFF box walk — real formats,
+    native parse, no codec. SYNM blobs report zeros (no timeline)."""
+    if blob[:4] == b"RIFF":
+        sr, ch, dur, nt = _wav_meta(blob)
+        return "wav", sr, ch, dur, nt
+    if len(blob) >= 12 and blob[4:8] == b"ftyp":
+        sr, ch, dur, nt = _mp4_meta(blob)
+        return "mp4", sr, ch, dur, nt
+    if blob[:4] == _MAGIC:
+        return "synm", None, None, 0, 0
+    raise NotImplementedError("unknown A/V container (RIFF/WAV and ISO-BMFF/MP4 parse natively)")
+
+
+def media_av_table(spark: SparkSession, sf_dir: str, n: int = 200) -> DataFrame:
+    """Synthetic A/V media table: even ids carry a real WAV, odd ids a
+    real MP4 (both pure functions of the id, so the oracle recomputes
+    the parsed fields analytically)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < n)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["audio" if i % 2 == 0 else "video" for i in ids],
+                    "blob": [
+                        synth_wav(int(i)) if i % 2 == 0 else synth_mp4(int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, MEDIA)
+
+
+def extract_av_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched container probe over binary blobs (same mapInPandas
+    shape as extract_media_meta — one batch = many blobs)."""
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            metas = [decode_av_meta(blob) for blob in b["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "container": [m[0] for m in metas],
+                    "sample_rate": pd.array([m[1] for m in metas], dtype="Int32"),
+                    "channels": pd.array([m[2] for m in metas], dtype="Int32"),
+                    "duration_ms": [m[3] for m in metas],
+                    "n_tracks": [m[4] for m in metas],
+                }
+            )
+
+    return media.mapInPandas(stage, AV_META)
+
+
+def q_media_av_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-container probe pipeline: WAV/MP4 blobs -> RIFF/ISO-BMFF
+    header parse -> per-container integer stats; every parsed field is
+    an exact integer function of the id, so the DuckDB oracle replays
+    the expected values analytically (verifying the byte-level parsers
+    end to end)."""
+    meta = extract_av_meta(media_av_table(spark, sf_dir))
+    return meta.groupBy("container").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+        F.max("sample_rate").alias("max_sample_rate"),
+        F.sum("channels").alias("sum_channels"),
+        F.sum("n_tracks").alias("sum_tracks"),
+    )
+
+
+# Analytic mirror: WAV duration = n_frames*1000 // sample_rate with
+# n_frames = 32 + id%64; MP4 duration_ms = duration*1000 // timescale
+# with timescale = 1000*(1+id%4), duration = timescale*(1+id%30) +
+# (id*7)%timescale. DuckDB // on positive ints == the parser's floor.
+SQL_MEDIA_AV_PROBE = """
+WITH m AS (
+  SELECT doc_id,
+         doc_id % 2 = 0 AS is_wav,
+         8000 + (doc_id * 37) % 40000 AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         32 + doc_id % 64 AS n_frames,
+         1000 * (1 + doc_id % 4) AS timescale,
+         1 + doc_id % 3 AS n_tracks
+  FROM documents WHERE doc_id < 200),
+c AS (
+  SELECT CASE WHEN is_wav THEN 'wav' ELSE 'mp4' END AS container,
+         CASE WHEN is_wav THEN sample_rate END AS sample_rate,
+         CASE WHEN is_wav THEN channels END AS channels,
+         CASE WHEN is_wav THEN n_frames * 1000 // sample_rate
+              ELSE (timescale * (1 + doc_id % 30) + (doc_id * 7) % timescale)
+                   * 1000 // timescale END AS duration_ms,
+         CASE WHEN is_wav THEN 1 ELSE n_tracks END AS n_tracks
+  FROM m)
+SELECT container, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(max(sample_rate) AS INT) AS max_sample_rate,
+       CAST(sum(channels) AS BIGINT) AS sum_channels,
+       CAST(sum(n_tracks) AS BIGINT) AS sum_tracks
+FROM c GROUP BY container
+"""
+
 QUERIES = {
     "multimodal_media_meta": (q_media_meta, SQL_MEDIA_META),
     "multimodal_resize_sample": (q_media_resize_sample, SQL_MEDIA_RESIZE_SAMPLE),
+    "multimodal_av_probe": (q_media_av_probe, SQL_MEDIA_AV_PROBE),
 }

@@ -265,15 +265,21 @@ def url_graph(crawled: DataFrame) -> DataFrame:
     )
 
 
-def frontier_scores(crawled: DataFrame, iters: int = 4) -> DataFrame:
+def frontier_scores(crawled: DataFrame, iters: int = 2) -> DataFrame:
     """(url_hash, score) — fixed-point PageRank over the discovered link
     graph (operators/graph.pagerank). The score a 10^10-URL frontier
     spends its per-host politeness budget by: fetch the most-linked
     pages first instead of LIFO. int64-exact, so admission stays
-    deterministic and layout-independent."""
+    deterministic and layout-independent.
+
+    Runs the LAZY pagerank form (materialize=False): admission only needs
+    a RANKING signal, so few supersteps suffice and the whole scoring
+    plan fuses into the admission top-k job — zero extra eager jobs,
+    scaling with cores like the rest of the round (for iters > 4
+    pagerank falls back to the eager checkpointed form itself)."""
     from .graph import pagerank
 
-    return pagerank(url_graph(crawled), iters=iters).select(
+    return pagerank(url_graph(crawled), iters=iters, materialize=False).select(
         F.col("node").alias("url_hash"), F.col("rank").alias("score")
     )
 

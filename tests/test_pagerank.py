@@ -88,3 +88,22 @@ def test_iterations_actually_move_rank(spark):
     rk = pagerank(edges, iters=PR_ITERS)
     assert {r.rank for r in r0.collect()} == {PR_SCALE}
     assert len({r.rank for r in rk.collect()}) > 1
+
+
+def test_lazy_form_matches_eager(spark):
+    """materialize=False (the frontier-scoring path: no persist, no
+    localCheckpoint — the plan fuses into its consumer job) must be
+    bit-identical to the eager checkpointed form at the same superstep
+    count, and must fall back to eager above the lazy plan-depth cap."""
+    edges = purchase_edges(spark, SF_DIR)
+    for iters in (0, 1, 2, 4):
+        eager = {r.node: r.rank for r in pagerank(edges, iters=iters).collect()}
+        lazy = {
+            r.node: r.rank
+            for r in pagerank(edges, iters=iters, materialize=False).collect()
+        }
+        assert lazy == eager, f"lazy/eager divergence at iters={iters}"
+    # above the cap the lazy request silently materializes (plan doubles
+    # per superstep) — same results either way
+    deep = {r.node: r.rank for r in pagerank(edges, iters=5, materialize=False).collect()}
+    assert deep == {r.node: r.rank for r in pagerank(edges, iters=5).collect()}

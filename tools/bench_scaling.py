@@ -128,9 +128,19 @@ def worker(cores: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     wh = os.path.join(shm, "wh")
+    # SCALING_SCORE=1 uses a BINDING per-host budget (400 slots x 5000
+    # hosts < 2M URLs on the zipf frontier): with the budget binding, the
+    # PageRank-scored order decides WHICH URLs are admitted, so the run
+    # exercises the production scheduler for real — digests are pinned
+    # across levels and intentionally differ from the LIFO runs. (A
+    # non-binding budget admits everything and provably reproduces the
+    # LIFO output bit-identically: measured crawl_order digest
+    # -8605676412215837558492/1976245 == the primary LIFO digest, with
+    # the scoring joins adding only ~2 s of read+plan.)
+    score_on = os.environ.get("SCALING_SCORE") == "1"
     cfg = CrawlConfig(
         round_seconds=1e6,          # huge budget window: admission bounded by
-        per_host_cap=10_000_000,    # frontier, not politeness, for this bench
+        per_host_cap=400 if score_on else 10_000_000,  # frontier unless scored
         max_rounds=1,
         max_depth=1,                # no expansion: one steady-state round
         frontier_partitions=32,
@@ -148,7 +158,7 @@ def worker(cores: int) -> None:
         # frontier's parent->url edges) replaces LIFO — the production
         # scheduler path. Digests are pinned to THEMSELVES across levels
         # (they intentionally differ from the LIFO oracle ordering).
-        score_admission=os.environ.get("SCALING_SCORE") == "1",
+        score_admission=score_on,
     )
     crawl = Crawl(spark, cfg)
     frontier = synth_frontier(spark, N_URLS, N_HOSTS, 32)
@@ -322,30 +332,42 @@ def run_score_check(levels=(2, 8)) -> dict:
     order — it intentionally differs from the LIFO oracle), efficiency
     computed on the same protocol as the primary pair. Merges a
     ``score_admission_check`` block into BENCH/scaling.json."""
-    results = {}
+    results, all_walls = {}, {}
     for cores in levels:
-        print(f"== score-admission run local[{cores}] over {N_URLS:,} URLs ==", flush=True)
-        env = dict(os.environ, SCALING_SCORE="1")
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            env=env,
-        )
-        line = next(
-            (ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")), None
-        )
-        if line is None:
-            sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
-            raise SystemExit(f"score worker local[{cores}] failed")
-        results[cores] = json.loads(line[len("WORKER_RESULT "):])
-        print(json.dumps(results[cores]), flush=True)
+        runs = []
+        for i in range(REPEATS):
+            print(
+                f"== score-admission run local[{cores}] over {N_URLS:,} URLs "
+                f"(run {i + 1}/{REPEATS}) ==",
+                flush=True,
+            )
+            env = dict(os.environ, SCALING_SCORE="1")
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env=env,
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")), None
+            )
+            if line is None:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+                raise SystemExit(f"score worker local[{cores}] failed")
+            runs.append(json.loads(line[len("WORKER_RESULT "):]))
+            print(json.dumps(runs[-1]), flush=True)
+        if len({tuple(r["crawl_order_digest"]) for r in runs}) != 1:
+            raise SystemExit(f"nondeterministic scored crawl order at local[{cores}]")
+        # best-of-N per level, same disclosed protocol as the primary pair
+        results[cores] = min(runs, key=lambda r: r["wall_s"])
+        all_walls[cores] = [r["wall_s"] for r in runs]
     a, b = levels
     eff = round((results[b]["urls_per_sec"] / results[a]["urls_per_sec"]) / (b / a), 3)
     block = {
         "n_urls": N_URLS,
         "levels": {str(c): results[c] for c in levels},
+        "all_walls": {str(c): all_walls[c] for c in levels},
         "efficiency": {f"{a}->{b}": eff},
         "digests_match_across_levels": (
             results[a]["crawl_order_digest"] == results[b]["crawl_order_digest"]
