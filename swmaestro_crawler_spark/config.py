@@ -116,13 +116,15 @@ class CrawlConfig:
     # SCALING_SCORE=1 digest check in tools/bench_scaling.py)
     score_admission: bool = False
 
-    # PageRank supersteps for the admission score. 2 is plenty for a
-    # RANKING signal (we only order the budgeted top-k, we never need the
-    # converged values), and at ≤4 supersteps the scoring plan runs LAZY
-    # (no eager materialization jobs, graph.pagerank materialize=False)
-    # so it fuses into the admission job and scales with the fetch
-    # instead of adding ~14 s of flat per-round driver latency.
-    score_iters: int = 2
+    # Supersteps for the admission score. 1 (default) is the OPIC-shaped
+    # fast path: outdegree-normalized in-link mass, ordering-identical
+    # to one full PageRank superstep but only 3 edge-list shuffles and
+    # fully fused into the admission job (politeness.frontier_scores).
+    # 2-4 run true lazy PageRank supersteps; >4 falls back to the eager
+    # checkpointed pagerank. Ranking the budgeted top-k never needs
+    # converged values — more supersteps buy ranking depth at ~2 extra
+    # edge-list shuffles each.
+    score_iters: int = 1
 
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):

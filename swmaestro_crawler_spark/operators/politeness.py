@@ -265,21 +265,39 @@ def url_graph(crawled: DataFrame) -> DataFrame:
     )
 
 
-def frontier_scores(crawled: DataFrame, iters: int = 2) -> DataFrame:
-    """(url_hash, score) — fixed-point PageRank over the discovered link
-    graph (operators/graph.pagerank). The score a 10^10-URL frontier
-    spends its per-host politeness budget by: fetch the most-linked
-    pages first instead of LIFO. int64-exact, so admission stays
-    deterministic and layout-independent.
+def frontier_scores(crawled: DataFrame, iters: int = 1) -> DataFrame:
+    """(url_hash, score) — link-importance score over the discovered
+    parent->url graph. The score a 10^10-URL frontier spends its
+    per-host politeness budget by: fetch the most-linked pages first
+    instead of LIFO. int64-exact, so admission stays deterministic and
+    layout-independent.
 
-    Runs the LAZY pagerank form (materialize=False): admission only needs
-    a RANKING signal, so few supersteps suffice and the whole scoring
-    plan fuses into the admission top-k job — zero extra eager jobs,
-    scaling with cores like the rest of the round (for iters > 4
-    pagerank falls back to the eager checkpointed form itself)."""
-    from .graph import pagerank
+    iters=1 (default) is the OPIC-shaped fast path: score(url) =
+    Σ_{p->url} PR_SCALE div outdeg(p) — outdegree-normalized in-link
+    mass, the classic online frontier-importance estimator. Its ORDERING
+    is provably identical to one full PageRank superstep (rank =
+    PR_BASE + (85·inbox) div 100 is monotone in inbox, and unranked
+    URLs coalesce to 0 below every ranked one in score_admitted), but
+    the plan needs only 3 shuffles of the edge list — no 2·|E|-row
+    node-list distinct, no final left join — and fuses into the
+    admission job (tests/test_score_admission.py pins the equivalence).
 
-    return pagerank(url_graph(crawled), iters=iters, materialize=False).select(
+    iters ≥ 2 runs true PageRank supersteps via the LAZY pagerank form
+    (materialize=False): no eager per-superstep jobs; for iters > 4
+    pagerank falls back to the eager checkpointed form itself."""
+    from .graph import PR_SCALE, pagerank
+
+    edges = url_graph(crawled)
+    if iters <= 1:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        return (
+            edges.join(outdeg, "src")
+            .select("dst", F.expr(f"{PR_SCALE} div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("score"))
+            .select(F.col("dst").alias("url_hash"), "score")
+        )
+    return pagerank(edges, iters=iters, materialize=False).select(
         F.col("node").alias("url_hash"), F.col("rank").alias("score")
     )
 

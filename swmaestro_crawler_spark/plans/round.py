@@ -269,9 +269,11 @@ def run_round_critical(
         # released by the ContextCleaner when the round's frames drop.
         from ..operators.politeness import frontier_scores, score_admitted
 
+        tm.step("admission_scores")
         scores = frontier_scores(pending, iters=cfg.score_iters).localCheckpoint(
             eager=True
         )
+        tm.step("read+plan")
         admitted_df, deferred_df = score_admitted(unseen_capped, scores, robots, cfg)
     else:
         admitted_df, deferred_df = split_admitted(unseen_capped, robots, cfg)

@@ -81,9 +81,14 @@ def test_frontier_scores_rank_most_linked_first(spark):
     u = scores[df.sparkSession.createDataFrame([("https://h/u",)], "u string")
                .select(F.xxhash64("u").alias("h")).collect()[0].h]
     assert t > u  # 10 inlinks beats 1
-    assert len(scores) == url_graph(df).select("src").unionByName(
+    # the iters=1 fast path scores exactly the linked (>=1 inlink) URLs;
+    # everything else coalesces to 0 in score_admitted
+    assert len(scores) == url_graph(df).select("dst").distinct().count()
+    # true-PageRank mode (iters>=2) scores every node, sinks included
+    full = {r.url_hash for r in frontier_scores(df, iters=2).collect()}
+    assert len(full) == url_graph(df).select("src").unionByName(
         url_graph(df).select(F.col("dst").alias("src"))
-    ).distinct().count()  # every node scored, sinks included
+    ).distinct().count()
 
 
 def _scored_crawl(spark, wh, par, score=True):
@@ -114,3 +119,39 @@ def test_scored_crawl_deterministic_across_parallelism(spark, tmp_path):
     assert d3 == d8
     lifo, _ = _scored_crawl(spark, str(tmp_path / "lifo"), 8, score=False)
     assert d8 != lifo
+
+
+def test_fast_path_ordering_matches_one_pagerank_superstep(spark):
+    """frontier_scores(iters=1) is the OPIC-shaped in-link-mass fast
+    path; its ORDERING must equal one true PageRank superstep:
+    rank = PR_BASE + (85·inbox) div 100 is strictly monotone in inbox =
+    fast_score, and URLs absent from the fast scores coalesce to 0 under
+    every linked URL (pagerank gives them exactly PR_BASE, also below
+    every linked node's rank)."""
+    from pyspark.sql import functions as F
+
+    from swmaestro_crawler_spark.operators.graph import PR_BASE, pagerank
+    from swmaestro_crawler_spark.operators.politeness import (
+        frontier_scores,
+        url_graph,
+    )
+
+    rows = [
+        ("http://h/%d" % d, "http://h/%d" % s)
+        for s, d in [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 0), (4, 0), (4, 5)]
+    ]
+    df = spark.createDataFrame(rows, "url string, parent string")
+    fast = {r.url_hash: r.score for r in frontier_scores(df, iters=1).collect()}
+    full = {
+        r.node: r.rank for r in pagerank(url_graph(df), iters=1).collect()
+    }
+    # exact relation on linked nodes: rank = PR_BASE + (85*inbox) div 100
+    for node, score in fast.items():
+        assert full[node] == PR_BASE + (85 * score) // 100
+    # nodes pagerank knows but the fast path omits are exactly the
+    # zero-inlink ones, at the floor rank (=> below every linked node
+    # in both orderings once score_admitted coalesces them to 0)
+    for node, rank in full.items():
+        if node not in fast:
+            assert rank == PR_BASE
+    assert len(fast) > 0 and len(full) > len(fast)

@@ -128,19 +128,19 @@ def worker(cores: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     wh = os.path.join(shm, "wh")
-    # SCALING_SCORE=1 uses a BINDING per-host budget (400 slots x 5000
-    # hosts < 2M URLs on the zipf frontier): with the budget binding, the
-    # PageRank-scored order decides WHICH URLs are admitted, so the run
-    # exercises the production scheduler for real — digests are pinned
-    # across levels and intentionally differ from the LIFO runs. (A
-    # non-binding budget admits everything and provably reproduces the
-    # LIFO output bit-identically: measured crawl_order digest
-    # -8605676412215837558492/1976245 == the primary LIFO digest, with
-    # the scoring joins adding only ~2 s of read+plan.)
+    # SCALING_SCORE=1 uses a BINDING per-host budget (2,000 slots: ~119
+    # of the 5,000 zipf hosts overflow, ~44% of the frontier defers):
+    # with the budget binding, the link-scored order decides WHICH URLs
+    # are admitted, so the run exercises the production scheduler for
+    # real — digests are pinned across levels and intentionally differ
+    # from the LIFO runs. (A non-binding budget admits everything and
+    # provably reproduces the LIFO output bit-identically: measured
+    # crawl_order digest -8605676412215837558492/1976245 == the primary
+    # LIFO digest, with the scoring joins adding only ~2 s of read+plan.)
     score_on = os.environ.get("SCALING_SCORE") == "1"
     cfg = CrawlConfig(
         round_seconds=1e6,          # huge budget window: admission bounded by
-        per_host_cap=400 if score_on else 10_000_000,  # frontier unless scored
+        per_host_cap=2_000 if score_on else 10_000_000,  # frontier unless scored
         max_rounds=1,
         max_depth=1,                # no expansion: one steady-state round
         frontier_partitions=32,
