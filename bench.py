@@ -263,30 +263,20 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from swmaestro_crawler_spark.config import spark_builder
-
-    spark = spark_builder("bench", master=f"local[{cpus}]", shuffle_partitions=32).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    queries, query_walls = run_queries(spark, sf_dir, repeats)
-    # the query session is DONE — stop it before the crawl subprocesses
-    # so its 32 idle executor threads + heap don't compete with the
-    # measurement JVMs (the first in-bench crawl read 242 s with the
-    # parent alive vs 33-36 s under tools/crawl_ab.py's clean protocol)
-    spark.stop()
-    # crawl measurements run in FRESH subprocesses (own JVM + tmpfs
-    # scratch): the shared query session degrades position-dependently
-    # and the crawl ran last — its r3/r4 in-session walls (40-170 s)
-    # were contamination, not code (BENCH/crawl_ab.json). best-of-3: at
-    # this tiny (30k-URL) scale the wall is dominated by fixed
-    # per-round/job latency and swings ±40% run-to-run on this host
-    # (all walls recorded; scale-representative numbers are the 1M/10M
-    # rounds in BENCH/BASELINE.md)
+    # crawl measurements run FIRST, in FRESH subprocesses (own JVM +
+    # tmpfs scratch), BEFORE this parent process starts any JVM: round 3
+    # proved the shared query session degrades position-dependently, and
+    # round 4 additionally measured that even a STOPPED parent session
+    # (its JVM keeps the post-240-measurement heap resident) doubles the
+    # crawl workers' walls (61-163 s in-bench vs 33-39 s on a bare host
+    # with the identical worker). best-of-3: at this tiny (30k-URL)
+    # scale the wall is dominated by fixed per-round/job latency and
+    # swings ±40% run-to-run on this host (all walls recorded;
+    # scale-representative numbers are the 1M/10M rounds in
+    # BENCH/BASELINE.md)
     runs = [_crawl_subprocess() for _ in range(3)]
     crawl = min(runs, key=lambda c: c["measured_wall_s"])
     crawl["all_walls"] = [c["measured_wall_s"] for c in runs]
-    queries["crawl_3round"] = crawl["measured_wall_s"]
 
     # one cuckoo-tier-on run: wall comparable, digests MUST equal the
     # tier-off run (every seen tier is FN-free) — asserted, not assumed
@@ -294,6 +284,16 @@ def main() -> None:
     assert ck["digests"] == crawl["digests"], "cuckoo tier changed crawl output!"
     crawl["cuckoo_wall_s"] = ck["measured_wall_s"]
     crawl["cuckoo_digests_match"] = True
+
+    from swmaestro_crawler_spark.config import spark_builder
+
+    spark = spark_builder("bench", master=f"local[{cpus}]", shuffle_partitions=32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    queries, query_walls = run_queries(spark, sf_dir, repeats)
+    spark.stop()
+    queries["crawl_3round"] = crawl["measured_wall_s"]
     queries["crawl_3round_cuckoo"] = ck["measured_wall_s"]
 
     oracle = run_oracles(sf_dir)
