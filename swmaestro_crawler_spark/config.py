@@ -126,6 +126,15 @@ class CrawlConfig:
     # edge-list shuffles each.
     score_iters: int = 1
 
+    # Standing score table instead of per-round recompute
+    # (operators/scoretable): OPIC contributions append per round
+    # (O(delta) — outdeg(parent) is final at emission because a parent is
+    # fetched exactly once), read merge-on-read (groupBy sum), compacted
+    # on demand. Semantics upgrade over the per-round recompute: a
+    # deferred URL keeps the in-link mass frontier dedup would otherwise
+    # drop with its duplicate rows. Requires score_admission.
+    score_table: bool = False
+
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
     """SparkSession builder with the engine's standard conf.

@@ -1,0 +1,109 @@
+"""Incremental link-score maintenance: the frontier scheduler's state as
+a merge-on-read catalog table.
+
+``politeness.frontier_scores`` recomputes the OPIC score from the
+pending table every round. That has two limits at 10^10-URL scale:
+
+1. **Deferral loses mass.** Admission dedups the frontier to one row per
+   URL (plans/round.dedup_frontier), so a URL that defers re-enters the
+   next round's pending with ONE surviving parent edge — its other
+   inlinks stop counting. The standing table accumulates every
+   discovered edge's contribution exactly once, so a much-linked URL
+   keeps its full rank however long the politeness budget defers it.
+2. **Recompute scales with the graph, not the delta.** Per-round work
+   should be proportional to the round's discoveries.
+
+The increment is exact, not approximate, because of a crawl invariant:
+**a parent's outlinks are all emitted in the single round it was
+fetched** (stop-on-seen: a URL is fetched at most once), so
+``outdeg(parent)`` is final at emission time and a contribution
+``PR_SCALE div outdeg(parent)`` never needs revision. Score maintenance
+is therefore pure addition — the one aggregation shape that composes
+under append.
+
+Storage shape (the 100-TB design): score keys are uniform hashes, so a
+copy-on-write MERGE would rewrite essentially every file every round
+(min/max pruning is useless on uniform keys — the same reason the seen
+table uses per-file blooms, catalog.py read_point). Instead the table is
+an APPEND-ONLY contribution log read merge-on-read (groupBy sum at
+read), with ``compact_scores`` collapsing the log to one row per URL
+when it grows — the LSM/Iceberg-aggregate pattern: O(delta) writes per
+round, rewrite amortized into compaction.
+
+Reference anchor: the reference has no link-importance scheduling at all
+(LIFO frontier pop, New_YouTube_Crawler.py frontier handling); this is
+engine-side scale capability, like the cuckoo tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from .graph import PR_SCALE
+
+SCORES = StructType(
+    [
+        StructField("url_hash", LongType(), False),
+        StructField("score", LongType(), False),
+    ]
+)
+
+SCORES_TABLE = "link_scores"
+
+
+def opic_contributions(links: DataFrame) -> DataFrame:
+    """Per-batch OPIC contribution rows from discovered ``(url, parent)``
+    pairs: dedupe edges, compute each parent's outdegree WITHIN the
+    batch (exact, because a parent's outlinks all arrive in one batch —
+    see module docstring), emit ``PR_SCALE div outdeg`` per edge, and
+    pre-aggregate per url_hash so the append is as small as possible
+    (map-side-combine shape). int64 end-to-end: replays bit-identically
+    on any engine and any partitioning."""
+    edges = (
+        links.filter(F.col("parent").isNotNull())
+        .select(
+            F.xxhash64(F.col("parent")).alias("src"),
+            F.xxhash64(F.col("url")).alias("dst"),
+        )
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        edges.join(outdeg, "src")
+        .select("dst", F.expr(f"{PR_SCALE} div outdeg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("score"))
+        .select(F.col("dst").alias("url_hash"), "score")
+    )
+
+
+def append_contributions(cat, links: DataFrame, round_no: int) -> int:
+    """Append one round's contribution delta as a snapshot (O(delta)
+    write; no existing file touched)."""
+    return cat.append(
+        SCORES_TABLE, opic_contributions(links), meta={"round": round_no}
+    )
+
+
+def read_scores(cat, snapshot: int | None = None) -> DataFrame:
+    """Merge-on-read view: the standing score per URL is the SUM of its
+    logged contributions across every append so far. One groupBy over
+    the log; admission joins the result (coalescing absent URLs to 0,
+    operators/politeness.score_admitted)."""
+    return (
+        cat.read(SCORES_TABLE, SCORES, snapshot=snapshot)
+        .groupBy("url_hash")
+        .agg(F.sum("score").alias("score"))
+    )
+
+
+def compact_scores(cat) -> int:
+    """Collapse the contribution log to one pre-summed row per URL (a new
+    snapshot; old ones stay time-travelable). Read results are identical
+    before and after — sum is associative — so compaction can run
+    whenever the log's read amplification warrants it."""
+    compacted = read_scores(cat).repartition("url_hash").sortWithinPartitions(
+        "url_hash"
+    )
+    return cat.overwrite(SCORES_TABLE, compacted, stat_cols=["url_hash"])

@@ -37,7 +37,18 @@ from .round import (
     run_round_critical,
 )
 
-TABLES = ("pending", "seen", "spans", "dead", "crawl_order", "metrics", "robots", "fetched", "lineage")
+TABLES = (
+    "pending",
+    "seen",
+    "spans",
+    "dead",
+    "crawl_order",
+    "metrics",
+    "robots",
+    "fetched",
+    "lineage",
+    "link_scores",
+)
 
 
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
@@ -132,11 +143,27 @@ class Crawl:
             ),
             meta={"round": 0},
         )
-        for t in ("seen", "spans", "dead", "crawl_order", "metrics", "fetched", "lineage"):
+        for t in (
+            "seen",
+            "spans",
+            "dead",
+            "crawl_order",
+            "metrics",
+            "fetched",
+            "lineage",
+            "link_scores",
+        ):
             # materialize an empty snapshot 0 so resume rollback has a target
             self.cat._commit_manifest(
                 t, {"snapshots": [{"id": 0, "files": [], "meta": {}}], "current": 0}
             )
+        if self.cfg.score_admission and self.cfg.score_table:
+            # edges injected with the bootstrap frontier are discoveries
+            # too: log their OPIC contributions so round 0's admission
+            # already ranks by them (operators/scoretable)
+            from ..operators.scoretable import append_contributions
+
+            append_contributions(self.cat, frontier, -1)
         self._write_checkpoint(
             -1, empty_bloom(self.cfg.bloom_bits), cuckoo_tables=self._empty_cuckoo()
         )

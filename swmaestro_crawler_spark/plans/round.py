@@ -270,9 +270,17 @@ def run_round_critical(
         from ..operators.politeness import frontier_scores, score_admitted
 
         tm.step("admission_scores")
-        scores = frontier_scores(pending, iters=cfg.score_iters).localCheckpoint(
-            eager=True
-        )
+        if cfg.score_table:
+            # standing merge-on-read score table (operators/scoretable):
+            # accumulated over every discovered edge, bound to the
+            # round-start snapshot (this round's job_scores append is
+            # invisible here by construction, like seen/pending)
+            from ..operators.scoretable import read_scores
+
+            scores_src = read_scores(cat)
+        else:
+            scores_src = frontier_scores(pending, iters=cfg.score_iters)
+        scores = scores_src.localCheckpoint(eager=True)
         tm.step("read+plan")
         admitted_df, deferred_df = score_admitted(unseen_capped, scores, robots, cfg)
     else:
@@ -363,63 +371,66 @@ def run_round_critical(
     )
     retries = retry_base.filter(F.col("attempt") < cfg.max_attempts).select(*FRONTIER_COLS)
 
-    def job_pending() -> int:
-        # frontier expansion: outlinks -> next round's pending rows.
-        # O5/V4 pagination cutoff: the reference kills a playlist's whole
-        # pagination chain on the first already-seen video
-        # (New_YouTube_Crawler.py:263-273, keep_going=False). Batch
-        # adaptation: a playlist page whose video items include a URL
-        # seen AS OF ROUND START does not enqueue its next-page
-        # continuation. Membership reuses the two-tier structure:
-        # round-start bloom probe (bitmap_bc) filters to the maybe-seen
-        # slice, an exact SEMI join against the round-start seen table
-        # confirms — no seen-set shuffle for the overwhelmingly-unseen
-        # case. ``seen`` was bound to the round-start snapshot at step 1
-        # (catalog.read resolves files eagerly), so the concurrent
-        # job_seen append is invisible here by construction.
-        links_exploded = (
-            ok.filter(F.col("depth") < cfg.max_depth)
-            .select(
-                F.col("url").alias("parent"),
-                F.col("depth").alias("parent_depth"),
-                F.posexplode(
-                    F.when(F.col("links") == "", F.array().cast("array<string>"))
-                    .otherwise(F.split(F.col("links"), SPANSEP_LIT))
-                ).alias("seq", "url"),
-            )
-            .transform(with_canonical)
+    # frontier expansion: outlinks -> next round's pending rows (LAZY —
+    # built here so job_pending and the optional job_scores share one
+    # definition; nothing executes until those jobs run).
+    # O5/V4 pagination cutoff: the reference kills a playlist's whole
+    # pagination chain on the first already-seen video
+    # (New_YouTube_Crawler.py:263-273, keep_going=False). Batch
+    # adaptation: a playlist page whose video items include a URL
+    # seen AS OF ROUND START does not enqueue its next-page
+    # continuation. Membership reuses the two-tier structure:
+    # round-start bloom probe (bitmap_bc) filters to the maybe-seen
+    # slice, an exact SEMI join against the round-start seen table
+    # confirms — no seen-set shuffle for the overwhelmingly-unseen
+    # case. ``seen`` was bound to the round-start snapshot at step 1
+    # (catalog.read resolves files eagerly), so the concurrent
+    # job_seen append is invisible here by construction.
+    links_exploded = (
+        ok.filter(F.col("depth") < cfg.max_depth)
+        .select(
+            F.col("url").alias("parent"),
+            F.col("depth").alias("parent_depth"),
+            F.posexplode(
+                F.when(F.col("links") == "", F.array().cast("array<string>"))
+                .otherwise(F.split(F.col("links"), SPANSEP_LIT))
+            ).alias("seq", "url"),
         )
-        if cfg.playlist_cutoff:
-            from ..operators.seen import bloom_probe
+        .transform(with_canonical)
+    )
+    if cfg.playlist_cutoff:
+        from ..operators.seen import bloom_probe
 
-            is_pl_parent = F.col("parent").rlike("://[^/]*/pl/")
-            is_pl_child = F.col("url").rlike("://[^/]*/pl/")
-            watch_children = links_exploded.filter(is_pl_parent & ~is_pl_child).select(
-                "parent", "url_hash"
-            )
-            cut_parents = (
-                bloom_probe(watch_children, bitmap_bc, cfg.bloom_hashes)
-                .filter(F.col("maybe_seen"))
-                .join(seen.select("url_hash"), "url_hash", "left_semi")
-                .select("parent")
-                .distinct()
-            )
-            cont = links_exploded.filter(is_pl_parent & is_pl_child)
-            rest = links_exploded.filter(~(is_pl_parent & is_pl_child))
-            kept_cont = cont.join(cut_parents, "parent", "left_anti")
-            links = rest.unionByName(kept_cont)
-        else:
-            links = links_exploded
-        new_links = links.select(
-            "url",
-            "url_hash",
-            "host",
-            (F.col("parent_depth") + 1).cast("int").alias("depth"),
-            F.col("seq").cast("long").alias("seq"),
-            F.lit(r + 1).cast("int").alias("round"),
-            F.lit(0).cast("int").alias("attempt"),
-            "parent",
+        is_pl_parent = F.col("parent").rlike("://[^/]*/pl/")
+        is_pl_child = F.col("url").rlike("://[^/]*/pl/")
+        watch_children = links_exploded.filter(is_pl_parent & ~is_pl_child).select(
+            "parent", "url_hash"
         )
+        cut_parents = (
+            bloom_probe(watch_children, bitmap_bc, cfg.bloom_hashes)
+            .filter(F.col("maybe_seen"))
+            .join(seen.select("url_hash"), "url_hash", "left_semi")
+            .select("parent")
+            .distinct()
+        )
+        cont = links_exploded.filter(is_pl_parent & is_pl_child)
+        rest = links_exploded.filter(~(is_pl_parent & is_pl_child))
+        kept_cont = cont.join(cut_parents, "parent", "left_anti")
+        links = rest.unionByName(kept_cont)
+    else:
+        links = links_exploded
+    new_links = links.select(
+        "url",
+        "url_hash",
+        "host",
+        (F.col("parent_depth") + 1).cast("int").alias("depth"),
+        F.col("seq").cast("long").alias("seq"),
+        F.lit(r + 1).cast("int").alias("round"),
+        F.lit(0).cast("int").alias("attempt"),
+        "parent",
+    )
+
+    def job_pending() -> int:
         next_pending = (
             deferred_df.select(*FRONTIER_COLS)
             .unionByName(retries)
@@ -511,9 +522,16 @@ def run_round_critical(
     ]
     if cuckoo is not None:
         jobs.append(("cuckoo", job_cuckoo))
+    if cfg.score_admission and cfg.score_table:
+        # O(delta) contribution append — round r+1's admission reads it,
+        # so it is a CRITICAL commit like seen/pending
+        from ..operators.scoretable import append_contributions
+
+        jobs.append(("scores", lambda: append_contributions(cat, new_links, r)))
     futs = {name: ex.submit(fn) for name, fn in jobs}
     sid_seen = futs["seen"].result()
     sid_pending = futs["pending"].result()
+    sid_scores = futs["scores"].result() if "scores" in futs else None
     bloom |= futs["bloom"].result()
     if cuckoo is not None:
         # merged in place like the bloom: round r+1 probes the caller's
@@ -534,6 +552,7 @@ def run_round_critical(
             "seen": sid_seen,
             "pending": sid_pending,
             "robots": cat.current_snapshot("robots"),
+            **({"link_scores": sid_scores} if sid_scores is not None else {}),
         },
         futures={k: futs[k] for k in ("order", "dead", "counts")},
         executor=ex,
