@@ -64,6 +64,7 @@ def _all_modules():
         packing,
         relational,
         scheduling,
+        scoretable,
         similarity,
         sketches,
         text_analysis,
@@ -81,6 +82,7 @@ def _all_modules():
         scheduling,
         dedup,
         graph,
+        scoretable,
         text_analysis,
         curation,
         similarity,
@@ -102,6 +104,7 @@ def _all_modules():
 # first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
+    "opic_score_table",
     "multimodal_av_probe",
     "quality_classifier",
     "host_reputation",

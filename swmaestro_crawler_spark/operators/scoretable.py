@@ -52,22 +52,15 @@ SCORES = StructType(
 SCORES_TABLE = "link_scores"
 
 
-def opic_contributions(links: DataFrame) -> DataFrame:
-    """Per-batch OPIC contribution rows from discovered ``(url, parent)``
-    pairs: dedupe edges, compute each parent's outdegree WITHIN the
+def opic_contributions_keyed(edges: DataFrame) -> DataFrame:
+    """Per-batch OPIC contribution rows from already-keyed ``(src, dst)``
+    int64 edges: dedupe, compute each parent's outdegree WITHIN the
     batch (exact, because a parent's outlinks all arrive in one batch —
     see module docstring), emit ``PR_SCALE div outdeg`` per edge, and
     pre-aggregate per url_hash so the append is as small as possible
     (map-side-combine shape). int64 end-to-end: replays bit-identically
     on any engine and any partitioning."""
-    edges = (
-        links.filter(F.col("parent").isNotNull())
-        .select(
-            F.xxhash64(F.col("parent")).alias("src"),
-            F.xxhash64(F.col("url")).alias("dst"),
-        )
-        .distinct()
-    )
+    edges = edges.select("src", "dst").distinct()
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     return (
         edges.join(outdeg, "src")
@@ -75,6 +68,17 @@ def opic_contributions(links: DataFrame) -> DataFrame:
         .groupBy("dst")
         .agg(F.sum("c").alias("score"))
         .select(F.col("dst").alias("url_hash"), "score")
+    )
+
+
+def opic_contributions(links: DataFrame) -> DataFrame:
+    """``opic_contributions_keyed`` over discovered ``(url, parent)``
+    string pairs, keyed by the engine's canonical xxhash64 URL ids."""
+    return opic_contributions_keyed(
+        links.filter(F.col("parent").isNotNull()).select(
+            F.xxhash64(F.col("parent")).alias("src"),
+            F.xxhash64(F.col("url")).alias("dst"),
+        )
     )
 
 
@@ -107,3 +111,68 @@ def compact_scores(cat) -> int:
         "url_hash"
     )
     return cat.overwrite(SCORES_TABLE, compacted, stat_cols=["url_hash"])
+
+
+def q_opic_score_table(spark, sf_dir: str) -> DataFrame:
+    """Contract query: incremental OPIC score maintenance end-to-end.
+
+    The purchase stream stands in for crawl rounds: each o_orderdate
+    YEAR is one round's discovered link batch (distinct custkey→suppkey
+    edges), appended to a real merge-on-read catalog score table via
+    ``opic_contributions_keyed`` — outdegree computed WITHIN the batch,
+    the crawl invariant — with ``compact_scores`` run midway to prove
+    log compaction is read-invisible. Returns the standing (url_hash,
+    score) view; the DuckDB oracle computes the same sum in one pass
+    with per-(year, src) outdegrees, so the incremental==batch identity
+    is what the hash match certifies."""
+    import tempfile
+
+    from swmaestro_crawler_spark.catalog import Catalog
+    from swmaestro_crawler_spark.sources.testdata import load
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("r"),
+            F.col("o_custkey").cast("long").alias("src"),
+            F.col("l_suppkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    years = sorted(r.r for r in edges.select("r").distinct().collect())
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="scores_wh_"))
+    for i, yr in enumerate(years):
+        cat.append(
+            SCORES_TABLE,
+            opic_contributions_keyed(edges.filter(F.col("r") == yr)),
+            meta={"round": yr},
+        )
+        if i == len(years) // 2:
+            compact_scores(cat)
+    out = read_scores(cat)
+    edges.unpersist()
+    return out
+
+
+SQL_OPIC_SCORE_TABLE = f"""
+WITH e AS (
+  SELECT DISTINCT CAST(year(o.o_orderdate) AS BIGINT) AS r,
+         CAST(o.o_custkey AS BIGINT) AS src,
+         CAST(l.l_suppkey AS BIGINT) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+d AS (SELECT r, src, COUNT(*) AS outdeg FROM e GROUP BY r, src)
+SELECT e.dst AS url_hash,
+       CAST(SUM({PR_SCALE} // d.outdeg) AS BIGINT) AS score
+FROM e JOIN d ON d.r = e.r AND d.src = e.src
+GROUP BY e.dst
+"""
+
+
+QUERIES = {
+    "opic_score_table": (q_opic_score_table, SQL_OPIC_SCORE_TABLE),
+}
