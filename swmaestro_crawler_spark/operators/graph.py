@@ -66,7 +66,12 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = PR_ITERS, materialize: bool = True) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    materialize: bool = True,
+    checkpoint_every: int = 2,
+) -> DataFrame:
     """K supersteps of fixed-point PageRank over a directed edge list
     ``(src, dst)``; returns ``(node, rank)`` with rank in PR_SCALE units.
 
@@ -110,7 +115,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, materialize: bool = True) 
     )
     if materialize:
         ranks = ranks.localCheckpoint(eager=True)
-    for _ in range(iters):
+    for i in range(iters):
         inbox = (
             edges_d.join(ranks, edges_d.src == ranks.node)
             .select("dst", F.expr("rank div outdeg").alias("c"))
@@ -126,7 +131,12 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, materialize: bool = True) 
             .cast("long")
             .alias("rank"),
         )
-        if materialize:
+        # The rank plan doubles per un-checkpointed superstep (referenced
+        # by both inbox and the left join), so cut lineage every
+        # `checkpoint_every` steps: the tree stays <= 2^stride nodes while
+        # the eager materialization jobs — pure fixed driver latency —
+        # drop by the same factor. Values are int64-exact either way.
+        if materialize and ((i + 1) % checkpoint_every == 0 or i + 1 == iters):
             ranks = ranks.localCheckpoint(eager=True)
     if materialize:
         edges_d.unpersist()
