@@ -40,6 +40,7 @@ def main() -> None:
     )
     from swmaestro_crawler_spark.operators.packing import q_corpus_shard_pack
     from swmaestro_crawler_spark.operators.relational import QUERIES as REL_Q
+    from swmaestro_crawler_spark.operators.scoretable import q_opic_score_table
     from swmaestro_crawler_spark.operators.similarity import q_embedding_neardup_pairs
     from swmaestro_crawler_spark.operators.urlspace import (
         q_boilerplate_ngrams,
@@ -116,6 +117,11 @@ def main() -> None:
             "Boilerplate bigrams (hashed grams only shuffle; broadcast source doc counts)",
             "`operators/urlspace.py q_boilerplate_ngrams`",
             q_boilerplate_ngrams(spark, SF),
+        ),
+        (
+            "Standing link-score table read (merge-on-read groupBy-sum over the append log)",
+            "`operators/scoretable.py q_opic_score_table`",
+            q_opic_score_table(spark, SF),
         ),
     ]
 
