@@ -135,6 +135,15 @@ class CrawlConfig:
     # drop with its duplicate rows. Requires score_admission.
     score_table: bool = False
 
+    # Auto-compact the score-contribution log every N rounds (0 = only
+    # on demand via scoretable.compact_scores). The log otherwise grows
+    # one snapshot per round forever; compaction collapses it to one
+    # pre-summed row per URL. Read-invariant (sum is associative), so
+    # any admission decision — and therefore every crawl digest other
+    # than the link_scores file bytes themselves — is unchanged at any
+    # setting (pinned by tests/test_score_table.py).
+    score_compact_every: int = 0
+
 
 def spark_builder(app: str, master: str | None = None, shuffle_partitions: int = 32):
     """SparkSession builder with the engine's standard conf.

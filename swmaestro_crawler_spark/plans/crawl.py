@@ -299,6 +299,21 @@ class Crawl:
                 h = run_round_critical(
                     self.spark, self.cat, self.cfg, r, robots, bloom, cuckoo
                 )
+                if (
+                    self.cfg.score_admission
+                    and self.cfg.score_table
+                    and self.cfg.score_compact_every
+                    and (r + 1) % self.cfg.score_compact_every == 0
+                ):
+                    # The round's contribution append is CRITICAL (round
+                    # r+1 reads it), so the log is complete here. The
+                    # compacted snapshot is read-identical, so a crash
+                    # before the next checkpoint merely rolls current
+                    # back to the pre-compaction snapshot — compaction
+                    # re-runs, nothing is lost (scoretable docstring).
+                    from ..operators.scoretable import compact_scores
+
+                    compact_scores(self.cat)
                 if self.cfg.overlap_bookkeeping:
                     futures.append(fin.submit(_finish, h))
                 else:

@@ -175,3 +175,44 @@ def test_resume_rolls_back_score_table(spark, tmp_path):
     c3 = Crawl(spark, cfg2)
     c3.run(seeds, rounds=3)
     assert table_digest(c3, SCORES_TABLE) == uninterrupted
+
+
+def test_auto_compaction_is_read_invisible(spark, tmp_path):
+    """cfg.score_compact_every: a crawl that compacts the contribution
+    log every round must produce identical crawl_order/seen/spans (and
+    every other table) digests as the compact-never crawl, an equal
+    merged score view, and a strictly smaller contribution log."""
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+    from tests.test_resume import TABLES, table_digest
+
+    def crawl(wh, every):
+        cfg = small_cfg(
+            wh,
+            per_host_cap=4,
+            round_seconds=4.0,
+            score_admission=True,
+            score_table=True,
+            score_compact_every=every,
+        )
+        c = Crawl(spark, cfg)
+        c.run(spark.createDataFrame(make_seeds(cfg, 30)), rounds=3)
+        return c
+
+    c_off = crawl(str(tmp_path / "off"), 0)
+    c_on = crawl(str(tmp_path / "on"), 1)
+    for t in TABLES:
+        if t == SCORES_TABLE:
+            continue  # log layout differs by design; the VIEW must not
+        assert table_digest(c_on, t) == table_digest(c_off, t), t
+    merged_on = {r.url_hash: r.score for r in read_scores(c_on.cat).collect()}
+    merged_off = {r.url_hash: r.score for r in read_scores(c_off.cat).collect()}
+    assert merged_on == merged_off and len(merged_on) > 0
+    # compaction really ran (one extra overwrite commit per round) and
+    # left the log fully collapsed: exactly one pre-summed row per URL
+    assert c_on.cat.current_snapshot(SCORES_TABLE) > c_off.cat.current_snapshot(
+        SCORES_TABLE
+    )
+    on_log = c_on.cat.read(SCORES_TABLE, SCORES)
+    assert on_log.count() == on_log.select("url_hash").distinct().count()
+    assert on_log.count() == len(merged_on)
