@@ -159,6 +159,16 @@ def worker(cores: int) -> None:
         # scheduler path. Digests are pinned to THEMSELVES across levels
         # (they intentionally differ from the LIFO oracle ordering).
         score_admission=score_on,
+        # SCALING_SCORE_TABLE=1 (with SCALING_SCORE=1): admission reads
+        # the STANDING contribution log (bootstrapped from the injected
+        # frontier's parent edges) instead of recomputing scores from
+        # pending — the O(delta) production scheduler. On this
+        # one-parent-per-URL frontier the edge sets coincide, so the
+        # digests must reproduce the recompute-scheduler run exactly.
+        score_table=score_on and os.environ.get("SCALING_SCORE_TABLE") == "1",
+        score_compact_every=(
+            1 if os.environ.get("SCALING_SCORE_TABLE") == "1" else 0
+        ),
     )
     crawl = Crawl(spark, cfg)
     frontier = synth_frontier(spark, N_URLS, N_HOSTS, 32)
@@ -324,7 +334,7 @@ def run_overlap_ab(cores: int = 32, repeats: int = 2) -> dict:
 REPEATS = int(os.environ.get("SCALING_REPEATS", 2))
 
 
-def run_score_check(levels=(2, 8)) -> dict:
+def run_score_check(levels=(2, 8), table: bool = False) -> dict:
     """VERDICT r3 item 6: the PageRank-scored admission path (config
     score_admission) at frontier scale. Same 2M-URL job, SCALING_SCORE=1
     (parent links synthesized -> real scores), run at N and 4N cores:
@@ -342,6 +352,8 @@ def run_score_check(levels=(2, 8)) -> dict:
                 flush=True,
             )
             env = dict(os.environ, SCALING_SCORE="1")
+            if table:
+                env["SCALING_SCORE_TABLE"] = "1"
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
                 capture_output=True,
@@ -384,7 +396,27 @@ def run_score_check(levels=(2, 8)) -> dict:
     if os.path.exists(path):
         with open(path) as f:
             summary = json.load(f)
-    summary["score_admission_check"] = block
+    if table:
+        # the standing-table scheduler must reproduce the recompute
+        # scheduler exactly on this one-parent-per-URL frontier: same
+        # edges -> same Σ PR_SCALE div outdeg scores -> same admissions
+        prior = summary.get("score_admission_check", {}).get("levels", {})
+        ref = next(iter(prior.values()), None)
+        block["note"] = (
+            "SCALING_SCORE_TABLE=1: admission reads the STANDING O(delta) "
+            "contribution log (bootstrap append + per-round auto-compaction) "
+            "instead of recomputing scores from pending. One parent per URL "
+            "on this frontier, so digests must equal the recompute-scheduler "
+            "run's."
+        )
+        block["digests_match_recompute_scheduler"] = bool(
+            ref
+            and ref["crawl_order_digest"] == results[a]["crawl_order_digest"]
+            and ref["seen_digest"] == results[a]["seen_digest"]
+        )
+        summary["score_table_check"] = block
+    else:
+        summary["score_admission_check"] = block
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(block, indent=1))
@@ -612,5 +644,7 @@ if __name__ == "__main__":
         print(json.dumps(run_overlap_ab()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--score-check":
         run_score_check()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--score-table-check":
+        run_score_check(table=True)
     else:
         main()
