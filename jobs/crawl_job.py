@@ -32,6 +32,17 @@ def main() -> None:
     ap.add_argument("--n-hosts", type=int, default=200)
     ap.add_argument("--local-cores", type=int, default=None,
                     help="run on local[N] (omit under a real cluster master)")
+    ap.add_argument("--score-admission", action="store_true",
+                    help="spend each host's budget on the highest "
+                    "link-scored URLs first (OPIC/PageRank) instead of LIFO")
+    ap.add_argument("--score-table", action="store_true",
+                    help="with --score-admission: maintain scores as the "
+                    "standing O(delta) contribution log")
+    ap.add_argument("--score-compact-every", type=int, default=0,
+                    help="auto-compact the score log every N rounds (0=never)")
+    ap.add_argument("--cuckoo-buckets", type=int, default=None,
+                    help="enable the cuckoo seen tier with 2^k buckets/shard "
+                    "(pass the bucket count, e.g. 32768)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,6 +66,10 @@ def main() -> None:
         bloom_bits=args.bloom_bits,
         synth_n_hosts=args.n_hosts,
         warehouse=args.warehouse,
+        score_admission=args.score_admission,
+        score_table=args.score_table,
+        score_compact_every=args.score_compact_every,
+        cuckoo_buckets=args.cuckoo_buckets,
     )
     crawl = Crawl(spark, cfg)
     results = crawl.run(
