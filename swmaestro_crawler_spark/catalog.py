@@ -200,10 +200,22 @@ class Catalog:
         """Stage-write then move into place; returns (files, rows) — the
         row count comes free from the parquet footers (Iceberg records
         the same stat in its manifests)."""
+        stage = self.new_stage(table)
+        df.write.mode("overwrite").parquet(stage)
+        return self._adopt_stage(table, stage)
+
+    def new_stage(self, table: str) -> str:
+        """A fresh staging directory under the table dir — either
+        ``df.write`` (``_write_files``) or executor-side direct parquet
+        writers (operators/fetch.fetch_stage_direct) fill it; the files
+        become a snapshot via ``overwrite_stage``/``_adopt_stage``."""
+        stage = os.path.join(self._dir(table), f"stage-{uuid.uuid4().hex}")
+        os.makedirs(stage, exist_ok=True)
+        return stage
+
+    def _adopt_stage(self, table: str, stage: str) -> tuple[list[str], int]:
         import pyarrow.parquet as pq
 
-        stage = os.path.join(self._dir(table), f"stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(stage)
         data_dir = os.path.join(self._dir(table), "data")
         os.makedirs(data_dir, exist_ok=True)
         files, file_rows = [], []
@@ -216,6 +228,40 @@ class Catalog:
             files.append(os.path.join("data", dst))
         shutil.rmtree(stage, ignore_errors=True)
         return files, file_rows
+
+    def overwrite_stage(
+        self,
+        table: str,
+        stage: str,
+        meta: dict | None = None,
+        stat_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> int:
+        """``overwrite`` over files already staged by executor-side
+        writers (no driver-side ``df.write``): adopt the stage's parquet
+        files as the table's next snapshot. Same commit/locking path as
+        ``overwrite`` — only the producer of the staged bytes differs."""
+        files, file_rows = self._adopt_stage(table, stage)
+        stats_d = self._compute_stats(table, files, stat_cols)
+        blooms_d = self._compute_blooms(table, files, bloom_cols)
+
+        def mutate(m: dict) -> int:
+            self._merge_file_meta(m, stats_d, blooms_d)
+            sid = self._next_sid(m)
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": m["current"],
+                    "files": files,
+                    "meta": dict(
+                        meta or {}, rows_delta=sum(file_rows), file_rows=file_rows
+                    ),
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
 
     def _compute_stats(
         self, table: str, files: list[str], stat_cols: list[str] | None
@@ -769,15 +815,29 @@ class Catalog:
         IPC. Raw file bytes are identical across resumes within one JVM;
         across JVMs the parquet footer's ``encodings`` list (a parquet-mr
         hash-set) can reorder, so byte-identity of the DATA is asserted at
-        this level."""
+        this level. Writer-identity metadata (schema/field key-value
+        pairs like ``org.apache.spark.version`` and declared nullability
+        flags) is normalized away before hashing: the digest certifies
+        VALUES in ROW ORDER, not which engine encoded the file — the JVM
+        writer and the executor-direct Arrow writer
+        (operators/fetch.fetch_stage_direct) must digest equal."""
         import hashlib
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        def nullable(dt):
+            if pa.types.is_struct(dt):
+                return pa.struct([pa.field(f.name, nullable(f.type)) for f in dt])
+            if pa.types.is_list(dt):
+                return pa.list_(pa.field(dt.value_field.name, nullable(dt.value_type)))
+            return dt
+
         h = hashlib.sha256()
         for path in self.data_files(table, snapshot):
-            tbl = pq.read_table(path).combine_chunks()
+            tbl = pq.read_table(path).combine_chunks().replace_schema_metadata(None)
+            norm = pa.schema([pa.field(f.name, nullable(f.type)) for f in tbl.schema])
+            tbl = tbl.cast(norm)
             sink = pa.BufferOutputStream()
             with pa.ipc.new_stream(sink, tbl.schema) as w:
                 w.write_table(tbl)

@@ -106,6 +106,13 @@ class CrawlConfig:
     # (plans/crawl.py Crawl.run)
     overlap_bookkeeping: bool = True
 
+    # write the round's fetch scratch parquet DIRECTLY from the Arrow
+    # batches in the Python workers (operators/fetch.fetch_stage_direct):
+    # the spans/links bytes never cross into the JVM. False routes
+    # through mapInArrow -> df.write (the A/B baseline; also the path
+    # custom pandas transports exercise in tests).
+    fetch_direct_write: bool = True
+
     # importance-first admission: spend each host's politeness budget on
     # the most-linked pending URLs first (PageRank over the round's
     # parent->url edges, operators/politeness.frontier_scores) instead of

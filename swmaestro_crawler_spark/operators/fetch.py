@@ -5,12 +5,13 @@ per worker (supervisor.py:146-160; prefetch_count=1 at
 New_YouTube_Crawler_proxy_APP.py:41) with one ``mapInArrow`` stage that
 does, per partition, in a single pass:
 
-1. sort rows into per-host priority order (pandas, vectorized),
+1. sort rows into per-host priority order (Arrow sort kernel),
 2. run the pluggable BATCH transport — the sandbox transport is the
-   fully vectorized synthetic web (numpy splitmix64 + pandas string
-   kernels); production would run an async HTTP client over the same
-   batch interface, one session per partition (the reference's one
-   ``requests.Session`` per worker, New_YouTube_Crawler_Comment.py:32-33),
+   fully vectorized synthetic web (numpy splitmix64 + Arrow string
+   kernels, synth_web.payload_arrays); production would run an async
+   HTTP client over the same batch interface, one session per partition
+   (the reference's one ``requests.Session`` per worker,
+   New_YouTube_Crawler_Comment.py:32-33),
 3. extract the interleaved span documents from the payloads with pure
    Arrow C kernels (operators/spans.extract_spans_arrow) — the payload
    string NEVER leaves the Python worker; what crosses back to the JVM
@@ -67,30 +68,43 @@ FETCHED = StructType(
 # status: 200 ok; 403/413 fatal (straight to dead, reference
 # New_YouTube_Crawler_Comment.py:50-52 aborts with no retry); 500 transient
 # (bounded retry).
+# Two signatures, chosen by the ``arrow_native`` attribute on the callable:
+#   pandas (default, the custom/production seam): pd.DataFrame ->
+#     (pd.Series codes, pd.Series payload, pd.Series links)
+#   arrow_native=True (the synthetic sandbox web): pa.RecordBatch ->
+#     (np.int64 codes, pa.Array<string> payload, pa.Array<string> links)
 BatchTransport = Callable[[pd.DataFrame], tuple["pd.Series", "pd.Series", "pd.Series"]]
 
 
 def synth_transport(cfg: CrawlConfig) -> BatchTransport:
+    """Arrow-native synthetic transport: the whole batch stays in
+    contiguous Arrow/numpy buffers — no object-dtype pandas strings are
+    ever materialized on the hot path (they were the fetch stage's main
+    allocator/memory-bandwidth load; see synth_web.payload_arrays).
+    Receives the sorted Arrow batch, returns (status numpy int64,
+    payload pa.Array<string>, links pa.Array<string>)."""
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fetch(pdf: pd.DataFrame) -> tuple[pd.Series, pd.Series, pd.Series]:
-        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        code = synth_web.status_code_np(hashes, pdf["attempt"].to_numpy(dtype=np.int64), cfg)
+    def fetch(batch):
+        hashes = batch.column("url_hash").to_numpy()
+        code = synth_web.status_code_np(hashes, batch.column("attempt").to_numpy(), cfg)
         ok = code == 200
-        payload = pd.Series([""] * len(pdf), dtype=object)
-        links = pd.Series([""] * len(pdf), dtype=object)
-        if ok.any():
-            pl, lk = synth_web.payload_series(
-                hashes[ok],
-                pdf["host"].to_numpy(dtype=object)[ok],
-                cfg,
-                synth_web.kind_codes(pdf["url"])[ok],
-            )
-            payload[ok] = pl.to_numpy(dtype=object)
-            links[ok] = lk.to_numpy(dtype=object)
-            synth_web.parse_work(hashes[ok], cfg.synth_work_iters)
-        return pd.Series(code), payload, links
+        # payloads are a pure per-row function of (url_hash, host, kind):
+        # computing them for the ~few-% failed rows too and masking after
+        # costs less than a gather/scatter round-trip through objects
+        pl, lk = synth_web.payload_arrays(
+            hashes, batch.column("host"), cfg, synth_web.kind_codes_pa(batch.column("url"))
+        )
+        ok_pa = pa.array(ok)
+        blank = pa.scalar("", type=pa.string())
+        payload = pc.if_else(ok_pa, pl, blank)
+        links = pc.if_else(ok_pa, lk, blank)
+        synth_web.parse_work(hashes[ok], cfg.synth_work_iters)
+        return code, payload, links
 
+    fetch.arrow_native = True
     return fetch
 
 
@@ -99,11 +113,59 @@ def fetch_stage(admitted: DataFrame, cfg: CrawlConfig, round_no: int,
     """admitted frontier rows -> FETCHED rows (ok, links, spans)."""
     import pyarrow as pa
 
-    flat_cols = [f.name for f in FRONTIER.fields] + ["fingerprint"]
-
     def run_partition(batches):
-        transport = transport_factory(cfg)  # one session per partition
-        for b in batches:
+        yield from _fetched_batches(batches, transport_factory, cfg, round_no)
+
+    sub_bucket = F.xxhash64(
+        F.col("host"), F.lit(cfg.host_salt), F.pmod(F.col("url_hash"), F.lit(cfg.fetch_host_splits))
+    )
+    cols = [f.name for f in FETCHED.fields]
+    return (
+        admitted.repartition(cfg.frontier_partitions, sub_bucket)
+        .mapInArrow(run_partition, FETCHED)
+        .select(*cols)
+    )
+
+
+_FLAT_COLS = [f.name for f in FRONTIER.fields] + ["fingerprint"]
+_OUT_NAMES = _FLAT_COLS + ["ok", "status_code", "links", "spans", "fetch_round"]
+_SORT_KEYS = [
+    ("host", "ascending"),
+    ("depth", "descending"),
+    ("seq", "ascending"),
+    ("url_hash", "ascending"),
+]
+
+
+def _fetched_batches(batches, transport_factory, cfg: CrawlConfig, round_no: int):
+    """Arrow batches of admitted frontier rows -> FETCHED record batches
+    (shared by the mapInArrow stage and the executor-direct writer)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat_cols, out_names, sort_keys = _FLAT_COLS, _OUT_NAMES, _SORT_KEYS
+    transport = transport_factory(cfg)  # one session per partition
+    arrow_native = getattr(transport, "arrow_native", False)
+    for b in batches:
+        if arrow_native:
+            # whole pass in Arrow: sort (unique url_hash key -> same
+            # total order as the pandas path), fetch, extract — no
+            # object-string materialization anywhere
+            b2 = b.take(pc.sort_indices(b, sort_keys=sort_keys))
+            code, payload, links = transport(b2)
+            spans = extract_spans_arrow(payload)
+            arrays = [b2.column(c) for c in flat_cols]
+            arrays += [
+                pa.array(code == 200),
+                pa.array(code.astype(np.int32)),
+                links,
+                spans,
+                pa.array(np.full(b2.num_rows, round_no, dtype=np.int32)),
+            ]
+        else:
+            # legacy pandas-transport seam (custom/production
+            # transports return pandas Series; tests/test_custom_transport)
             pdf = b.to_pandas()
             pdf = pdf.sort_values(
                 ["host", "depth", "seq", "url_hash"], ascending=[True, False, True, True]
@@ -118,17 +180,99 @@ def fetch_stage(admitted: DataFrame, cfg: CrawlConfig, round_no: int,
                 spans,
                 pa.array([round_no] * len(pdf), type=pa.int32()),
             ]
-            yield pa.RecordBatch.from_arrays(
-                arrays,
-                names=flat_cols + ["ok", "status_code", "links", "spans", "fetch_round"],
-            )
+        yield pa.RecordBatch.from_arrays(arrays, names=out_names)
+
+
+FETCH_STATS = StructType(
+    [
+        StructField("part", IntegerType(), False),
+        StructField("rows", IntegerType(), False),
+    ]
+)
+
+
+def fetch_stage_direct(admitted: DataFrame, cfg: CrawlConfig, round_no: int,
+                       stage_dir: str,
+                       transport_factory: Callable[[CrawlConfig], BatchTransport] = synth_transport) -> DataFrame:
+    """``fetch_stage`` with EXECUTOR-DIRECT parquet writes: each task
+    writes its partition's FETCHED rows straight from the Arrow batches
+    to ``stage_dir/part-{pid:05d}.parquet`` (pyarrow C++ writer) and only
+    a (partition, rows) stats row crosses back to the JVM.
+
+    Why: through ``mapInArrow`` -> ``df.write.parquet`` the round's
+    largest bytes (spans + links, ~1 KB/URL) pay Arrow IPC to the JVM,
+    per-row InternalRow conversion of the nested span structs, and a
+    second columnar encode in the JVM parquet writer — measured as the
+    Python workers spending 2-4x their compute time BLOCKED on the JVM
+    consumer (BENCH/BASELINE.md fetch decomposition). Writing the
+    already-columnar batches from the worker removes every one of those
+    passes; the JVM never touches the payload bytes. At cluster scale
+    this is the standard direct-write pattern (task writes its own data
+    file, the commit adopts files by name — Iceberg's write path); task
+    RETRIES are safe because a re-attempt rewrites the same
+    deterministic file name with identical content, and local mode never
+    runs two attempts concurrently. A cluster deployment with
+    speculative execution would stage per-attempt names + rename-on-
+    commit (noted, not needed in local mode).
+
+    Layout parity: rows are sorted whole-partition on the same keys as
+    the JVM path's ``sortWithinPartitions`` and cast to the exact Arrow
+    schema Spark's writer would produce, so the committed table is
+    content- AND layout-identical (tests/test_direct_write.py pins the
+    content digest against the JVM path).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    import pyarrow as pa
+
+    def _nullable(dt):
+        # nullability-erased target: the assembled batches carry nullable
+        # children (Arrow kernels default to nullable) and read-back
+        # enforces the declared Spark schema regardless — parquet bytes
+        # only need the right physical types
+        if pa.types.is_struct(dt):
+            return pa.struct([pa.field(f.name, _nullable(f.type)) for f in dt])
+        if pa.types.is_list(dt):
+            return pa.list_(pa.field(dt.value_field.name, _nullable(dt.value_type)))
+        return dt
+
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _nullable(f.type)) for f in to_arrow_schema(FETCHED)]
+    )
+    sort_keys = _SORT_KEYS
+
+    def run_partition(batches):
+        import os
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = []
+        rows = 0
+        for rb in _fetched_batches(batches, transport_factory, cfg, round_no):
+            out.append(rb)
+            rows += rb.num_rows
+        if rows:
+            tbl = pa.Table.from_batches(out, schema=out[0].schema)
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=sort_keys))
+            tbl = tbl.cast(arrow_schema).combine_chunks()
+            tmp = os.path.join(stage_dir, f".tmp-part-{pid:05d}.parquet")
+            pq.write_table(tbl, tmp, compression="snappy")
+            os.replace(tmp, os.path.join(stage_dir, f"part-{pid:05d}.parquet"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int32()),
+                pa.array([rows], type=pa.int32()),
+            ],
+            names=["part", "rows"],
+        )
 
     sub_bucket = F.xxhash64(
         F.col("host"), F.lit(cfg.host_salt), F.pmod(F.col("url_hash"), F.lit(cfg.fetch_host_splits))
     )
-    cols = [f.name for f in FETCHED.fields]
-    return (
-        admitted.repartition(cfg.frontier_partitions, sub_bucket)
-        .mapInArrow(run_partition, FETCHED)
-        .select(*cols)
+    return admitted.repartition(cfg.frontier_partitions, sub_bucket).mapInArrow(
+        run_partition, FETCH_STATS
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import Catalog
 from ..config import CrawlConfig
 from ..functions.canonical import with_canonical
-from ..operators.fetch import FETCHED, fetch_stage
+from ..operators.fetch import FETCHED, fetch_stage, fetch_stage_direct
 from ..operators.politeness import (
     cap_per_template,
     priority_order,
@@ -297,13 +297,24 @@ def run_round_critical(
     #    deterministic regardless of shuffle arrival order
     #    (byte-identical resume, N-vs-4N equality).
     tm.step("fetch_scratch_write")
-    sid_fetch = cat.overwrite(
-        "fetched",
-        fetch_stage(admitted_df, cfg, r).sortWithinPartitions(
-            "host", F.col("depth").desc(), "seq", "url_hash"
-        ),
-        meta={"round": r},
-    )
+    if cfg.fetch_direct_write:
+        # executor-direct columnar write: the span/link bytes go Arrow ->
+        # parquet inside the Python workers; the JVM sees 32 stats rows
+        # (operators/fetch.fetch_stage_direct — content- and layout-
+        # identical to the mapInArrow->df.write path, digest-pinned)
+        stage = cat.new_stage("fetched")
+        fetch_stage_direct(admitted_df, cfg, r, stage).agg(
+            F.sum("rows")
+        ).first()
+        sid_fetch = cat.overwrite_stage("fetched", stage, meta={"round": r})
+    else:
+        sid_fetch = cat.overwrite(
+            "fetched",
+            fetch_stage(admitted_df, cfg, r).sortWithinPartitions(
+                "host", F.col("depth").desc(), "seq", "url_hash"
+            ),
+            meta={"round": r},
+        )
     fetched = cat.read("fetched", FETCHED)
     ok = fetched.filter(F.col("ok"))
     failed = fetched.filter(~F.col("ok"))

@@ -307,6 +307,180 @@ def payload_series(
 
 
 # ---------------------------------------------------------------------------
+# Arrow fast path: the same page function over contiguous Arrow buffers.
+#
+# ``payload_series`` above builds ~45 object-dtype pandas Series by
+# per-row Python string concatenation — ~10M PyUnicode allocations per
+# 62.5k-row batch. Single-threaded that is merely slow (~125 us/URL);
+# under 32 concurrent Python workers the allocator/heap traffic is pure
+# memory-bandwidth pressure, which on a shared box is the resource that
+# does NOT scale with cores (BENCH/BASELINE.md bandwidth attribution).
+# ``payload_arrays`` produces byte-identical strings with pyarrow.compute
+# kernels (binary_join_element_wise / if_else / take over contiguous
+# string buffers), keeping the fetch hot path entirely out of the Python
+# object heap. Parity with the pandas reference implementation is pinned
+# by tests/test_synth_web.py::test_payload_arrays_parity.
+# ---------------------------------------------------------------------------
+_HEX_TAB = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _hex_pa(x: np.ndarray, width: int):
+    """Fixed-width lowercase hex of uint64 values (< 16**width) as an
+    Arrow string array — the vectorized ``%0{width}x``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    x = np.asarray(x, dtype=np.uint64)
+    out = np.empty((len(x), width), dtype=np.uint8)
+    for i in range(width):
+        shift = np.uint64(4 * (width - 1 - i))
+        out[:, i] = _HEX_TAB[((x >> shift) & np.uint64(0xF)).astype(np.intp)]
+    return pc.cast(pa.array(out.view(f"S{width}").ravel()), pa.string())
+
+
+@lru_cache(maxsize=8)
+def _hosts_pa(n_hosts: int):
+    import pyarrow as pa
+
+    return pa.array(hosts(n_hosts), type=pa.string())
+
+
+@lru_cache(maxsize=1)
+def _vocab_pa():
+    import pyarrow as pa
+
+    return pa.array(VOCAB, type=pa.string())
+
+
+def kind_codes_pa(urls) -> np.ndarray:
+    """Vectorized page-kind over an Arrow string array (same mapping as
+    ``kind_codes`` but no object-string materialization)."""
+    import pyarrow.compute as pc
+
+    m = pc.struct_field(pc.extract_regex(urls, r"://[^/]*/(?P<k>ch|pl|w)/"), 0)
+    is_ch = pc.fill_null(pc.equal(m, "ch"), False).to_numpy(zero_copy_only=False)
+    is_pl = pc.fill_null(pc.equal(m, "pl"), False).to_numpy(zero_copy_only=False)
+    return np.where(is_ch, KIND_CHANNEL, np.where(is_pl, KIND_PLAYLIST, KIND_WATCH)).astype(
+        np.int64
+    )
+
+
+def payload_arrays(url_hash, own_host, cfg: CrawlConfig, kind_code=None):
+    """Arrow-native ``payload_series``: identical (payload, links) strings
+    as pa.Array<string>. ``own_host`` may be a pa string array (zero-copy
+    from the fetch batch) or any object-string sequence."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    h = _uh(url_hash)
+    n = len(h)
+    if n == 0:
+        e = pa.array([], type=pa.string())
+        return e, e
+    kc = (
+        np.full(n, KIND_WATCH, dtype=np.int64)
+        if kind_code is None
+        else np.asarray(kind_code, dtype=np.int64)
+    )
+    is_ch, is_pl = kc == KIND_CHANNEL, kc == KIND_PLAYLIST
+    is_ch_pa, is_pl_pa = pa.array(is_ch), pa.array(is_pl)
+    # absent slots become NULL and the final join skips them — exactly the
+    # pandas path's collapse-runs-of-separator + strip semantics (a present
+    # slot is never the empty string), without the extra regex+trim passes
+    empty = pa.scalar(None, type=pa.string())
+    nv = np.uint64(len(VOCAB))
+    vocab = _vocab_pa()
+
+    def dec(x: np.ndarray):  # uint64 -> decimal string
+        return pc.cast(pa.array(x), pa.string())
+
+    def vtake(idx: np.ndarray):
+        return pc.take(vocab, pa.array(idx.astype(np.int64)))
+
+    def cat(*parts):  # element-wise concat, "" separator
+        return pc.binary_join_element_wise(*parts, "")
+
+    slots = []
+
+    views = _mix(h, 1) % np.uint64(1_000_000)
+    likes = _mix(h, 2) % np.uint64(10_000)
+    dislikes = _mix(h, 3) % np.uint64(1_000)
+    watch_stat = cat("views=", dec(views), " likes=", dec(likes), " dislikes=", dec(dislikes))
+    ch_stat = cat("subscribers=", dec(views), " videos=", dec(likes))
+    pl_stat = cat("items=", dec(likes))
+    stat_body = pc.if_else(is_pl_pa, pl_stat, pc.if_else(is_ch_pa, ch_stat, watch_stat))
+    slots.append(cat("stat" + FIELD, stat_body, FIELD))
+
+    n_text = (_mix(h, 4) % np.uint64(_MAX_TEXT)).astype(np.int64) + 1  # 1..5
+    n_text = np.where(is_ch, 2, np.where(is_pl, 1, n_text))
+    cdf = _zipf_cdf(cfg.synth_n_hosts, cfg.synth_zipf_s)
+    hosts_arr = _hosts_pa(cfg.synth_n_hosts)
+    for j in range(_MAX_TEXT):
+        w0 = vtake(_mix(h, 10 + 4 * j) % nv)
+        w1 = vtake(_mix(h, 11 + 4 * j) % nv)
+        w2 = vtake(_mix(h, 12 + 4 * j) % nv)
+        tok = _hex_pa(_mix(h, 13 + 4 * j) % np.uint64(1 << 32), 8)
+        text = cat("text" + FIELD, w0, " ", w1, " ", w2, " w", tok, FIELD)
+        slots.append(pc.if_else(pa.array(j < n_text), text, empty))
+
+        media = cat(
+            "media" + FIELD + FIELD + "http://cdn.example.com/img/",
+            _hex_pa(_mix(h, 30 + j) % np.uint64(1 << 40), 10),
+            ".jpg",
+        )
+        has_media = (j < n_text) & np.where(
+            is_ch, j == 0, np.where(is_pl, False, _u01(_mix(h, 80 + j)) < 0.4)
+        )
+        slots.append(pc.if_else(pa.array(has_media), media, empty))
+
+    n_tag = (_mix(h, 5) % np.uint64(_MAX_TAG + 1)).astype(np.int64)  # 0..2
+    n_tag = np.where(kc == KIND_WATCH, n_tag, 0)
+    for j in range(_MAX_TAG):
+        tag = cat("tag" + FIELD, vtake(_mix(h, 40 + j) % nv), FIELD)
+        slots.append(pc.if_else(pa.array(j < n_tag), tag, empty))
+
+    n_link = (_mix(h, 6) % np.uint64(_MAX_LINK - 1)).astype(np.int64) + 2  # 2..8
+    n_link = np.where(
+        is_ch,
+        (_mix(h, 7) % np.uint64(3)).astype(np.int64) + 2,
+        np.where(is_pl, (_mix(h, 8) % np.uint64(5)).astype(np.int64) + 4, n_link),
+    )
+    own_pa = (
+        own_host
+        if isinstance(own_host, (pa.Array, pa.ChunkedArray))
+        else pa.array(np.asarray(own_host, dtype=object), type=pa.string())
+    )
+    next_roll = _u01(_mix(h, 9)) < 0.5
+    link_targets = []
+    for j in range(_MAX_LINK):
+        cross = (kc == KIND_WATCH) & (_u01(_mix(h, 50 + j)) >= 0.5)
+        tgt_host = pc.if_else(
+            pa.array(cross),
+            pc.take(
+                hosts_arr,
+                pa.array(np.searchsorted(cdf, _u01(_mix(h, 60 + j))).astype(np.int64)),
+            ),
+            own_pa,
+        )
+        is_next_page = is_pl & (j == (n_link - 1)) & next_roll
+        prefix = pc.if_else(pa.array(is_ch | is_next_page), pa.scalar("/pl/"), pa.scalar("/w/"))
+        tgt_space = np.where(
+            is_ch | is_next_page, np.uint64(1 << 48), np.uint64(cfg.synth_watch_pool)
+        )
+        target = pc.if_else(
+            pa.array(j < n_link),
+            cat("http://", tgt_host, prefix, _hex_pa(_mix(h, 70 + j) % tgt_space, 12)),
+            empty,
+        )
+        link_targets.append(target)
+        slots.append(cat("link" + FIELD + FIELD, target))  # null target -> null slot
+
+    payload = pc.binary_join_element_wise(*slots, SPANSEP, null_handling="skip")
+    links = pc.binary_join_element_wise(*link_targets, SPANSEP, null_handling="skip")
+    return payload, links
+
+
+# ---------------------------------------------------------------------------
 # Scalar wrappers (oracle + tests); the engine never parses in Python
 # ---------------------------------------------------------------------------
 def parse_payload(payload: str) -> dict:

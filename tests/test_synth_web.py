@@ -35,3 +35,45 @@ def test_fetch_ok_varies_by_attempt():
     r1 = [synth_web.fetch_ok(u, 1, cfg) for u in urls]
     assert r0 != r1  # retries re-roll
     assert any(r0) and not all(r0)
+
+
+def test_payload_arrays_parity():
+    """The Arrow fast path must be byte-identical to the pandas
+    reference implementation across every page kind, host-space size,
+    and the empty batch (the crawl digests depend on it)."""
+    import numpy as np
+
+    for n_hosts, pool in ((20, 1 << 20), (5000, 4096)):
+        cfg = CrawlConfig(synth_n_hosts=n_hosts, synth_watch_pool=pool)
+        rng = np.random.default_rng(n_hosts)
+        n = 4096
+        hashes = rng.integers(-(2**62), 2**62, n, dtype=np.int64)
+        hosts = np.array(
+            [f"host{i % n_hosts:04d}.example.com" for i in range(n)], dtype=object
+        )
+        kinds = rng.integers(0, 3, n).astype(np.int64)
+        pl_pd, lk_pd = synth_web.payload_series(hashes, hosts, cfg, kinds)
+        pl_pa, lk_pa = synth_web.payload_arrays(hashes, hosts, cfg, kinds)
+        assert pl_pa.to_pylist() == list(pl_pd)
+        assert lk_pa.to_pylist() == list(lk_pd)
+    e_pl, e_lk = synth_web.payload_arrays(
+        np.array([], dtype=np.int64), np.array([], dtype=object), cfg
+    )
+    assert len(e_pl) == 0 and len(e_lk) == 0
+
+
+def test_kind_codes_pa_parity():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    urls = [
+        "http://host0001.example.com/ch/abc",
+        "http://host0001.example.com/pl/abc",
+        "http://host0001.example.com/w/abc",
+        "http://host0001.example.com/p/abc",  # unknown path -> watch
+        "http://host0001.example.com/",       # no path kind -> watch
+    ]
+    expect = synth_web.kind_codes(pd.Series(urls))
+    got = synth_web.kind_codes_pa(pa.array(urls, type=pa.string()))
+    assert list(got) == list(expect)
