@@ -220,7 +220,10 @@ class Catalog:
         os.makedirs(data_dir, exist_ok=True)
         files, file_rows = [], []
         for name in sorted(os.listdir(stage)):
-            if not name.endswith(".parquet"):
+            # hidden names are in-flight temporaries (the executor-direct
+            # writer stages ``.tmp-part-*`` then os.replace's into place;
+            # a task killed mid-write leaves only the dot-file behind)
+            if not name.endswith(".parquet") or name.startswith("."):
                 continue
             file_rows.append(pq.ParquetFile(os.path.join(stage, name)).metadata.num_rows)
             dst = f"snap-{uuid.uuid4().hex}-{name.split('-')[1]}.parquet"

@@ -104,3 +104,21 @@ def test_crawl_digests_identical_across_write_paths(spark, tmp_path):
             t: crawl.cat.content_digest(t) for t in ("crawl_order", "seen", "spans")
         }
     assert digs[True] == digs[False]
+
+
+def test_adopt_stage_skips_inflight_temporaries(spark, tmp_path):
+    """A task killed mid-write leaves a ``.tmp-part-*.parquet`` in the
+    stage; adoption must take only the atomically-renamed files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    stage = cat.new_stage("t")
+    tbl = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    pq.write_table(tbl, f"{stage}/part-00000.parquet")
+    pq.write_table(tbl, f"{stage}/.tmp-part-00001.parquet")  # orphaned temp
+    sid = cat.overwrite_stage("t", stage)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    got = cat.read("t", StructType([StructField("x", LongType(), True)]), snapshot=sid)
+    assert got.count() == 3

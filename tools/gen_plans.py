@@ -57,11 +57,19 @@ def main() -> None:
         spark.createDataFrame(make_seeds(cfg, 50))
     ).withColumn("fingerprint", F.hash(F.col("url")))
 
+    from swmaestro_crawler_spark.operators.fetch import fetch_stage_direct
+
     sections = [
         (
             "Fetch stage (salted sub-bucket repartition -> fused mapInArrow fetch+extract)",
             "`operators/fetch.py fetch_stage`",
             fetch_stage(admitted, cfg, 0),
+        ),
+        (
+            "Fetch stage, executor-direct write (default path: tasks write their own "
+            "sorted partition parquet; only (partition, rows) stats reach the JVM)",
+            "`operators/fetch.py fetch_stage_direct`",
+            fetch_stage_direct(admitted, cfg, 0, "/tmp/plans_stage"),
         ),
         (
             "Hash aggregation with map-side partials (pricing_summary_agg)",
