@@ -86,6 +86,22 @@ def empty_cuckoo(n_buckets: int, slots: int = 4) -> np.ndarray:
     return np.zeros((n_buckets, slots), dtype=np.uint16)
 
 
+def pair_ids(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
+    """The (fingerprint, unordered bucket pair) identity of each key —
+    the unit of storage: the filter keeps exactly ONE copy per distinct
+    pair id. Two distinct hashes with equal pair ids are
+    indistinguishable to the filter (membership, insert idempotence, and
+    deletion all operate on the pair id). i2 = i1 XOR delta(fp) is an
+    involution, so min(i1, i2) canonicalizes the unordered pair."""
+    h = _as_u64(np.asarray(hashes, dtype=np.int64))
+    fp = _fingerprints(h)
+    i1 = _bucket1(h, n_buckets)
+    i2 = _alt_bucket(i1, fp, n_buckets)
+    return (np.minimum(i1, i2).astype(np.uint64) << np.uint64(FP_BITS)) | fp.astype(
+        np.uint64
+    )
+
+
 def cuckoo_insert(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     """Insert int64 ``hashes`` into ``table`` IN PLACE (returns it).
     Deterministic: input is deduped+sorted, waves use stable ranks, and
@@ -104,8 +120,7 @@ def cuckoo_insert(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     # copy per (fp, {i1, i2}) — two distinct hashes sharing both inside a
     # single insert call must not place two copies, or table bytes would
     # differ between one-call and two-call insertion of the same key set
-    # (the pair is symmetric: i2 = i1 XOR delta(fp) is an involution, so
-    # min(i1, i2) identifies it)
+    # (see pair_ids — the pair id is the filter's unit of storage)
     pair_key = (
         np.minimum(i1, i2).astype(np.uint64) << np.uint64(FP_BITS)
     ) | fp.astype(np.uint64)
@@ -268,12 +283,23 @@ def cuckoo_delete(table: np.ndarray, hashes: np.ndarray) -> int:
     never-inserted key whose fingerprint collides with a resident would
     evict the resident's copy and break ITS no-false-negative guarantee
     — same contract as every cuckoo filter. One engine-specific caveat:
-    ``cuckoo_insert`` stores ONE copy per (fingerprint, bucket pair), so
-    two URLs whose 16-bit fingerprints AND bucket pairs both collide
-    (~1e-9 per pair within a shard) share a copy — deleting one expires
-    both from this tier. In the seen stack that means one spurious
-    re-probe of the EXACT tier (which still has the final word), never
-    a correctness break."""
+    ``cuckoo_insert`` stores ONE copy per ``pair_ids`` identity
+    (fingerprint + unordered bucket pair), so two URLs that collide on
+    the full pair id (~1e-9 per pair within a shard) share a copy —
+    deleting one expires BOTH from this tier, and the survivor then
+    probes negative. In the seen stack a cuckoo negative is treated as
+    definitively-unseen (it skips the exact tier), so the collateral
+    expiry re-fetches that one URL exactly once — an over-fetch, never a
+    missed-seen or a lost document; it is re-inserted on that fetch.
+    Deletion is only reachable from expiry/revisit flows where re-fetch
+    is the intended outcome. Bulk expiries that must be collateral-free
+    should instead rebuild the tier from the rolled-back seen table
+    (``build_cuckoo_increment`` — the path resume already uses). The
+    one-copy design is load-bearing: it is what makes increment replay
+    after a crash idempotent and table bytes a pure function of the key
+    set; a per-key copy count cannot be maintained with only
+    fingerprints stored (the filter cannot tell re-insert of X from
+    first-insert of a colliding Y)."""
     n_buckets, slots = table.shape
     h = np.unique(_as_u64(np.asarray(hashes, dtype=np.int64)))
     if h.size == 0:

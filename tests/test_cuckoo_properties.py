@@ -64,19 +64,31 @@ def test_incremental_membership_is_monotone(a, b, parts):
 @given(keys=keys_st, frac=st.floats(min_value=0.0, max_value=1.0))
 def test_delete_preserves_remaining_membership(keys, frac):
     """Deleting any inserted subset keeps every remaining key a member
-    (kicked copies are found in either bucket), and the deleted keys'
-    sliver of residual positives is fingerprint-collision only."""
+    (kicked copies are found in either bucket) EXCEPT the documented
+    collateral: a kept key sharing its full pair id (fingerprint +
+    unordered bucket pair — the filter's unit of storage) with a deleted
+    key shares that key's one copy, so it expires with it. The filter
+    cannot distinguish such keys even in principle; the seen stack turns
+    that sliver into a single over-fetch, never a missed-seen
+    (cuckoo_delete's docstring). Assert the exact contract: every
+    non-colliding kept key stays a member, and any membership loss is
+    confined to the colliding set."""
     h = np.unique(np.array(keys, dtype=np.int64))
     t = empty_cuckoo(1 << 9, 4)
     cuckoo_insert(t, h)
     cut = int(len(h) * frac)
     gone, kept = h[:cut], h[cut:]
-    from swmaestro_crawler_spark.operators.cuckoo import cuckoo_delete
+    from swmaestro_crawler_spark.operators.cuckoo import cuckoo_delete, pair_ids
 
     removed = cuckoo_delete(t, gone)
     assert removed <= len(gone)
     if len(kept):
-        assert cuckoo_probe_np(t, kept).all()
+        collides = np.isin(pair_ids(kept, t.shape[0]), pair_ids(gone, t.shape[0]))
+        assert cuckoo_probe_np(t, kept[~collides]).all()
+        # the falsifying shape hypothesis found (two keys, one pair id):
+        # loss is allowed there, and ONLY there
+        lost = kept[~cuckoo_probe_np(t, kept)]
+        assert np.isin(pair_ids(lost, t.shape[0]), pair_ids(gone, t.shape[0])).all()
 
 
 def test_partitioned_delete():
