@@ -508,7 +508,18 @@ def main() -> None:
     if os.environ.get("SCALING_OVERLAP_AB", "1") != "0":
         summary["overlap_ab"] = run_overlap_ab()
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # carry forward auxiliary check blocks (written by --score-check /
+    # --score-table-check / one-off SCALING_CUCKOO runs) so a primary
+    # re-measure doesn't silently drop them from the official record;
+    # they should still be re-run after engine changes to refresh walls.
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f)
+        for k in ("cuckoo_digest_check", "score_admission_check", "score_table_check"):
+            if k in prior:
+                summary[k] = prior[k]
+    with open(path, "w") as f:
         json.dump(summary, f, indent=1)
 
     rows = "\n".join(
