@@ -539,7 +539,22 @@ def run_round_critical(
         from ..operators.scoretable import append_contributions
 
         jobs.append(("scores", lambda: append_contributions(cat, new_links, r)))
-    futs = {name: ex.submit(fn) for name, fn in jobs}
+    # per-job walls (submit->finish, concurrent so they overlap): the
+    # scaling bench's stage table records only the aggregate
+    # bookkeeping_critical join; these name its tail job
+    def _timed(name, fn):
+        import time as _time
+
+        def run():
+            t0 = _time.perf_counter()
+            try:
+                return fn()
+            finally:
+                tm.times[f"bk_{name}"] = round(_time.perf_counter() - t0, 3)
+
+        return run
+
+    futs = {name: ex.submit(_timed(name, fn)) for name, fn in jobs}
     sid_seen = futs["seen"].result()
     sid_pending = futs["pending"].result()
     sid_scores = futs["scores"].result() if "scores" in futs else None
