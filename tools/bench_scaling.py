@@ -567,6 +567,27 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
 
+    write_baseline_md(summary)
+    print(json.dumps(summary))
+
+
+
+def write_baseline_md(summary: dict) -> None:
+    """Render BENCH/BASELINE.md from the official scaling.json summary —
+    also reachable as ``--render`` so auxiliary checks (kill/resume,
+    score-table) can refresh the md without re-measuring the sweep."""
+    results = {int(k): v for k, v in summary["levels"].items()}
+    all_walls = {int(k): v for k, v in summary["all_walls"].items()}
+    levels_all = tuple(sorted(results))
+    effs = summary["efficiencies"]
+    stage_effs = summary["stage_efficiencies"]
+    order_match = summary["crawl_order_match"]
+    seen_match = summary["seen_match"]
+    N_URLS = summary["n_urls"]
+    WORK_ITERS = summary["work_iters"]
+    a = levels_all[0]
+    b = a * 4
+
     rows = "\n".join(
         f"| local[{c}] | {results[c]['wall_s']} | {results[c]['processed']:,} "
         f"| {results[c]['urls_per_sec']:,} | {results[c]['urls_per_sec_per_core']:,} |"
@@ -762,10 +783,16 @@ The scored-admission run repeated with `score_table=True`
 (`SCALING_SCORE_TABLE=1`): admission reads the STANDING contribution
 log (bootstrap append + per-round auto-compaction) instead of
 recomputing scores from pending. Digests
-{"MATCH" if st.get('digests_match_recompute') else "DIFFER (BUG)"} the
-recompute-scheduler run exactly (one-parent-per-URL frontier: the edge
-sets coincide by construction). Wall {st.get('wall_s', '—')} s at
-local[{st.get('cores', '—')}].
+{"MATCH" if st.get('digests_match_recompute_scheduler') else "DIFFER (BUG)"}
+the recompute-scheduler run exactly (one-parent-per-URL frontier: the
+edge sets coincide by construction), and are identical across core
+counts ({"yes" if st.get('digests_match_across_levels') else "NO (BUG)"}).
+Best walls: {
+    ", ".join(
+        f"local[{c}] {st['levels'][c]['wall_s']} s"
+        for c in sorted(st.get('levels', {}), key=int)
+    )
+} (all walls: {st.get('all_walls')}).
 """
             )
         kr = summary.get("kill_resume_check")
@@ -785,7 +812,7 @@ back partial commits and re-runs the round; content digests of
 {kr['rounds_rerun']} round re-run).
 """
             )
-    print(json.dumps(summary))
+
 
 
 if __name__ == "__main__":
@@ -799,5 +826,8 @@ if __name__ == "__main__":
         run_score_check()
     elif len(sys.argv) > 1 and sys.argv[1] == "--score-table-check":
         run_score_check(table=True)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--render":
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as fh:
+            write_baseline_md(json.load(fh))
     else:
         main()
