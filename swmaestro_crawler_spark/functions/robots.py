@@ -9,10 +9,19 @@ C string kernels (no per-row Python), exposed as an Arrow ``pandas_udf``.
 
 Parsing rules (the subset the scheduler consumes, applied to the merged
 ``User-agent: *`` sections):
-- ``Disallow: <prefix>`` lines -> disallow_prefixes (empty value = allow
+- ``Disallow: <pattern>`` lines -> disallow_prefixes (empty value = allow
   all, dropped)
+- ``Allow: <pattern>`` lines -> allow_prefixes (RFC 9309 §2.2.2; empty
+  value dropped). Precedence is decided at MATCH time by the politeness
+  operator: the most specific (longest) matching pattern wins, Allow
+  winning ties — see operators/politeness.split_robots_excluded.
 - ``Crawl-delay: <seconds>`` -> crawl_delay_s (first wins; default 1.0)
 - comments (#...), blank lines, other directives ignored
+
+Patterns are stored RAW (as written in robots.txt, including ``*``
+wildcards and ``$`` end anchors); translation to an executable matcher
+is the politeness operator's job, so the stored table stays a faithful
+record of the fetched policy.
 """
 
 from __future__ import annotations
@@ -34,6 +43,7 @@ PARSED_ROBOTS = StructType(
     [
         StructField("crawl_delay_s", DoubleType(), False),
         StructField("disallow_prefixes", ArrayType(StringType(), False), False),
+        StructField("allow_prefixes", ArrayType(StringType(), False), False),
     ]
 )
 
@@ -69,6 +79,7 @@ def parse_robots_frame(bodies: pd.Series) -> pd.DataFrame:
     in_star = ua_star | (df["section"] == 0)
 
     dis = df[in_star & (df["key"] == "disallow") & (df["val"] != "")]
+    alw = df[in_star & (df["key"] == "allow") & (df["val"] != "")]
     delays = df[in_star & (df["key"] == "crawl-delay")]
     delay_num = pd.to_numeric(delays["val"], errors="coerce").dropna()
 
@@ -81,8 +92,14 @@ def parse_robots_frame(bodies: pd.Series) -> pd.DataFrame:
     )
     out_dis = dis.groupby("doc")["val"].agg(list).reindex(idx)
     out_dis = out_dis.apply(lambda x: x if isinstance(x, list) else [])
+    out_alw = alw.groupby("doc")["val"].agg(list).reindex(idx)
+    out_alw = out_alw.apply(lambda x: x if isinstance(x, list) else [])
     return pd.DataFrame(
-        {"crawl_delay_s": out_delay.to_numpy(), "disallow_prefixes": out_dis.to_numpy()}
+        {
+            "crawl_delay_s": out_delay.to_numpy(),
+            "disallow_prefixes": out_dis.to_numpy(),
+            "allow_prefixes": out_alw.to_numpy(),
+        }
     )
 
 
@@ -120,5 +137,6 @@ def robots_table_from_bodies(df, host_col: str = "host", body_col: str = "body")
         "host",
         F.col("p.crawl_delay_s").alias("crawl_delay_s"),
         F.col("p.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("p.allow_prefixes").alias("allow_prefixes"),
         F.lit(0).cast("int").alias("fetched_round"),
     )

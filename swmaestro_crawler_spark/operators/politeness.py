@@ -55,31 +55,80 @@ def synth_robots(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     return robots_table_from_bodies(bodies)
 
 
+def _robots_rules(patterns):
+    """array<string> of RAW robots patterns -> array<struct<like,spec>>:
+    ``like`` is the SQL LIKE translation of the pattern (escape
+    ``\\ % _``, robots ``*`` -> ``%``, a trailing ``$`` anchors the match
+    instead of appending the implicit-prefix ``%``) and ``spec`` is the
+    RFC 9309 specificity (octet length of the raw pattern — longest
+    match wins). Evaluated on the tiny per-host dimension BEFORE the
+    broadcast, never per frontier row."""
+    def rule(p):
+        anchored = p.endswith("$")
+        raw = F.when(anchored, F.substr(p, F.lit(1), F.length(p) - 1)).otherwise(p)
+        esc = F.regexp_replace(raw, r"([\\%_])", r"\\$1")
+        star = F.replace(esc, F.lit("*"), F.lit("%"))
+        like = F.when(anchored, star).otherwise(F.concat(star, F.lit("%")))
+        return F.struct(like.alias("like"), F.length(p).alias("spec"))
+
+    return F.transform(patterns, rule)
+
+
+def _best_match_spec(rules, path):
+    """Longest-match specificity of ``path`` over translated rules
+    (0 = no rule matches) — codegen FILTER + AGGREGATE, no UDF."""
+    return F.aggregate(
+        F.filter(rules, lambda r: F.like(path, r["like"], F.lit("\\"))),
+        F.lit(0),
+        lambda acc, r: F.greatest(acc, r["spec"]),
+    )
+
+
 def split_robots_excluded(
     frontier: DataFrame, robots: DataFrame
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(allowed, excluded, joined) after the robots disallow-prefix check.
+    """(allowed, excluded, joined) after the robots exclusion check —
+    RFC 9309 group-member semantics: among all ``Allow``/``Disallow``
+    patterns matching the URL path, the most specific (longest) wins,
+    with ``Allow`` winning ties; no matching rule means allowed.
+    Patterns support the spec's ``*`` wildcard and ``$`` end anchor.
 
     robots is a per-host dimension — broadcast, so no shuffle of the
-    frontier; the prefix test is a codegen'd EXISTS over the array.
+    frontier; pattern translation (raw robots pattern -> SQL LIKE) runs
+    on the dimension side before the broadcast, and the per-URL test is
+    a codegen'd FILTER/AGGREGATE over the translated arrays.
     ``joined`` is the shared parent both splits filter — the caller may
     persist it so the upstream dedup window materializes once.
+
+    A robots frame without an ``allow_prefixes`` column (pre-RFC-9309
+    checkpoints) degrades to pure disallow-prefix semantics, which this
+    operator reproduces exactly for wildcard-free patterns.
     """
+    allow_col = (
+        F.col("allow_prefixes")
+        if "allow_prefixes" in robots.columns
+        else F.array().cast("array<string>")
+    )
+    dim = robots.select(
+        "host",
+        _robots_rules(F.col("disallow_prefixes")).alias("_dis_rules"),
+        _robots_rules(allow_col).alias("_allow_rules"),
+    )
     path = F.regexp_replace(F.col("url"), r"^[a-z][a-z0-9+.\-]*://[^/]*", "")
-    joined = frontier.join(
-        F.broadcast(robots.select("host", "disallow_prefixes")), "host", "left"
-    ).withColumn(
+    joined = frontier.join(F.broadcast(dim), "host", "left").withColumn(
         "robots_blocked",
         F.coalesce(
-            F.exists(
-                F.col("disallow_prefixes"),
-                lambda p: F.startswith(path, p),
-            ),
+            _best_match_spec(F.col("_dis_rules"), path)
+            > _best_match_spec(F.col("_allow_rules"), path),
             F.lit(False),
         ),
     )
-    allowed = joined.filter(~F.col("robots_blocked")).drop("robots_blocked", "disallow_prefixes")
-    excluded = joined.filter(F.col("robots_blocked")).drop("robots_blocked", "disallow_prefixes")
+    allowed = joined.filter(~F.col("robots_blocked")).drop(
+        "robots_blocked", "_dis_rules", "_allow_rules"
+    )
+    excluded = joined.filter(F.col("robots_blocked")).drop(
+        "robots_blocked", "_dis_rules", "_allow_rules"
+    )
     return allowed, excluded, joined
 
 

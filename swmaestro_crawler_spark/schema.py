@@ -79,6 +79,7 @@ ROBOTS = StructType(
         StructField("host", StringType(), False),
         StructField("crawl_delay_s", DoubleType(), False),
         StructField("disallow_prefixes", ArrayType(StringType(), False), False),
+        StructField("allow_prefixes", ArrayType(StringType(), False), False),
         StructField("fetched_round", IntegerType(), False),
     ]
 )

@@ -545,7 +545,16 @@ def robots_for_host(host: str, cfg: CrawlConfig) -> dict:
     disallow = []
     if rng.random() < 0.25:
         disallow.append(f"/p/{rng.integers(0, 16):01x}")  # one hex-prefix shard blocked
-    return {"host": host, "crawl_delay_s": delay, "disallow_prefixes": disallow, "fetched_round": 0}
+    return {
+        "host": host,
+        "crawl_delay_s": delay,
+        "disallow_prefixes": disallow,
+        # the synthetic web emits no Allow lines (crawl digests across
+        # rounds/benches stay comparable); Allow semantics are covered by
+        # tests/test_parse_robots.py against RFC 9309 examples
+        "allow_prefixes": [],
+        "fetched_round": 0,
+    }
 
 
 def robots_txt_for_host(host: str, cfg: CrawlConfig) -> str:

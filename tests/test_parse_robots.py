@@ -100,3 +100,108 @@ def test_render_parse_round_trip(spark):
         want = robots_for_host(h, cfg)
         assert parsed["crawl_delay_s"].iloc[i] == want["crawl_delay_s"], h
         assert list(parsed["disallow_prefixes"].iloc[i]) == want["disallow_prefixes"], h
+
+
+ALLOW_CASE = """
+User-agent: *
+Allow: /private/ok
+Disallow: /private/
+Allow:
+"""
+
+
+def test_parse_allow_lines():
+    out = parse_robots_frame(pd.Series([ALLOW_CASE, SIMPLE]))
+    assert out.loc[0, "allow_prefixes"] == ["/private/ok"]
+    assert out.loc[0, "disallow_prefixes"] == ["/private/"]
+    # bodies without Allow lines get an empty list, not NaN
+    assert out.loc[1, "allow_prefixes"] == []
+
+
+def _blocked(spark, dis, alw, paths):
+    """Run split_robots_excluded over one host and return
+    {path: blocked} — the RFC 9309 longest-match verdict per URL."""
+    from swmaestro_crawler_spark.operators.politeness import split_robots_excluded
+
+    robots = spark.createDataFrame(
+        [("h", 1.0, dis, alw, 0)],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>, "
+        "allow_prefixes array<string>, fetched_round int",
+    )
+    frontier = spark.createDataFrame(
+        [(f"http://h{p}", "h") for p in paths], "url string, host string"
+    )
+    allowed, excluded, _ = split_robots_excluded(frontier, robots)
+    ok = {r.url.removeprefix("http://h") for r in allowed.collect()}
+    blocked = {r.url.removeprefix("http://h") for r in excluded.collect()}
+    assert ok | blocked == set(paths) and not (ok & blocked)
+    return {p: p in blocked for p in paths}
+
+
+def test_rfc9309_longest_match_precedence(spark):
+    """RFC 9309 §2.2.2: the most specific (longest) matching pattern
+    wins; Allow wins ties; no match = allowed."""
+    v = _blocked(
+        spark,
+        dis=["/"],
+        alw=["/p"],
+        paths=["/page", "/p", "/folder/x", "/"],
+    )
+    # '/p' (allow, len 2) beats '/' (disallow, len 1) wherever it matches
+    assert v == {"/page": False, "/p": False, "/folder/x": True, "/": True}
+
+    # tie -> allow wins
+    v = _blocked(spark, dis=["/dup"], alw=["/dup"], paths=["/dup/x"])
+    assert v == {"/dup/x": False}
+
+    # longer disallow beats shorter allow
+    v = _blocked(spark, dis=["/a/b/c"], alw=["/a"], paths=["/a/b/c/d", "/a/b"])
+    assert v == {"/a/b/c/d": True, "/a/b": False}
+
+
+def test_rfc9309_wildcards_and_anchor(spark):
+    """'*' matches any chars; '$' anchors the end of the path."""
+    v = _blocked(
+        spark,
+        dis=["/*.php$"],
+        alw=[],
+        paths=["/index.php", "/index.php?x=1", "/a/b.php", "/index.html"],
+    )
+    assert v == {
+        "/index.php": True,
+        "/index.php?x=1": False,  # $ anchor: query chars follow .php
+        "/a/b.php": True,
+        "/index.html": False,
+    }
+    # mid-pattern wildcard + SQL-special chars in the path stay literal
+    v = _blocked(
+        spark,
+        dis=["/fish*/salmon"],
+        alw=[],
+        paths=["/fishery/salmon", "/fish/salmon", "/fish_y/100%/salmon", "/salmon"],
+    )
+    assert v == {
+        "/fishery/salmon": True,
+        "/fish/salmon": True,
+        "/fish_y/100%/salmon": True,
+        "/salmon": False,
+    }
+
+
+def test_allow_absent_column_degrades_to_prefix_semantics(spark):
+    """A pre-RFC-9309 robots frame (no allow_prefixes column) must give
+    byte-identical verdicts to the original startswith semantics."""
+    from swmaestro_crawler_spark.operators.politeness import split_robots_excluded
+
+    robots = spark.createDataFrame(
+        [("h", 1.0, ["/p/3"], 0)],
+        "host string, crawl_delay_s double, disallow_prefixes array<string>, "
+        "fetched_round int",
+    )
+    frontier = spark.createDataFrame(
+        [("http://h/p/3abc", "h"), ("http://h/p/4abc", "h"), ("http://h/q/3", "h")],
+        "url string, host string",
+    )
+    allowed, excluded, _ = split_robots_excluded(frontier, robots)
+    assert {r.url for r in excluded.collect()} == {"http://h/p/3abc"}
+    assert {r.url for r in allowed.collect()} == {"http://h/p/4abc", "http://h/q/3"}
