@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--cuckoo-buckets", type=int, default=None,
                     help="enable the cuckoo seen tier with 2^k buckets/shard "
                     "(pass the bucket count, e.g. 32768)")
+    ap.add_argument("--redirect-prob", type=float, default=0.0,
+                    help="synthetic-web 3xx redirect probability (same-host "
+                    "chains followed inline, cross-host 301 handoffs re-enter "
+                    "the frontier, >4-hop chains die as 508)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -70,6 +74,7 @@ def main() -> None:
         score_table=args.score_table,
         score_compact_every=args.score_compact_every,
         cuckoo_buckets=args.cuckoo_buckets,
+        synth_redirect_prob=args.redirect_prob,
     )
     crawl = Crawl(spark, cfg)
     results = crawl.run(

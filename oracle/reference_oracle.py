@@ -131,11 +131,18 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
         # round's inserts mutate res.seen
         seen_start = set(res.seen)
         for ord_, row in enumerate(admitted):
-            code = synth_web.status_code(row.url, row.attempt, cfg)
+            # redirect semantics (synth_web redirect section): same-host
+            # chains resolve inline to their final target (content
+            # recorded under the requested URL, the requests-transparent-
+            # follow the reference gets for free); cross-host targets
+            # come back as a 301 handoff; >max-hop chains are 508 fatal
+            handoff, final, code = synth_web.resolve_redirect(row.url, cfg)
+            if code == 0:
+                code = synth_web.status_code(final, row.attempt, cfg)
             ok = code == 200
             res.crawl_order.append((r, ord_, row.url, row.host, row.depth, ok))
             if ok:
-                page = synth_web.page_for(row.url, cfg)
+                page = synth_web.page_for(final, cfg)
                 res.docs[row.url] = page["spans"]
                 res.seen.add(row.url_hash)
                 res.fingerprints[row.url_hash] = murmur3_32_str(row.url)
@@ -155,9 +162,19 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
                             continue  # seq keeps the pre-drop index (engine
                             # assigns seq at posexplode, before the cutoff)
                         next_pending.append(make_row(link, row.depth + 1, i, r + 1, 0, row.url))
+            elif code == synth_web.REDIRECT_CODE:
+                # cross-host 301: the URL is conclusively resolved (seen)
+                # and its single outlink — the redirect target — enters
+                # the frontier at depth+1 under the TARGET host's
+                # politeness budget
+                res.seen.add(row.url_hash)
+                res.fingerprints[row.url_hash] = murmur3_32_str(row.url)
+                if row.depth < cfg.max_depth:
+                    next_pending.append(make_row(handoff, row.depth + 1, 0, r + 1, 0, row.url))
             elif code != 500:
-                # fatal class (403/413 analogue): abort immediately, no
-                # retry — New_YouTube_Crawler_Comment.py:50-52
+                # fatal class (403/413 analogue, 508 redirect loop):
+                # abort immediately, no retry —
+                # New_YouTube_Crawler_Comment.py:50-52
                 res.dead.append((row.url, f"fatal_{code}", r))
             elif row.attempt + 1 < cfg.max_attempts:
                 next_pending.append(

@@ -81,6 +81,12 @@ class CrawlConfig:
             raise ValueError("synth_fail_prob must be in [0, 1)")
         if not (0.0 <= self.synth_fatal_prob < 1.0):
             raise ValueError("synth_fatal_prob must be in [0, 1)")
+        if not (0.0 <= self.synth_redirect_prob < 1.0):
+            raise ValueError("synth_redirect_prob must be in [0, 1)")
+        if not (0.0 <= self.synth_redirect_same <= 1.0):
+            raise ValueError("synth_redirect_same must be in [0, 1]")
+        if self.max_redirect_hops < 1:
+            raise ValueError("max_redirect_hops must be >= 1")
 
     # synthetic web (sandbox transport; swap for an HTTP fetcher in prod)
     synth_n_hosts: int = 200
@@ -92,6 +98,18 @@ class CrawlConfig:
     synth_watch_pool: int = 1 << 48  # id space for watch-page link targets;
                                      # small values make videos shared across
                                      # playlists (exercises the O5 cutoff)
+
+    # 3xx redirects (sources/synth_web redirect section): a URL is a
+    # permanent redirect source with this probability; same-host chains
+    # are followed inline in the fetch (content recorded under the
+    # requested URL — requests-transparent-follow parity), cross-host
+    # targets return 301 and re-enter the frontier at depth+1 so the
+    # target host's politeness budget applies; chains > max_redirect_hops
+    # resolve to 508 (fatal). 0.0 (default) disables redirects entirely —
+    # every pinned digest is byte-identical to pre-redirect builds.
+    synth_redirect_prob: float = 0.0
+    synth_redirect_same: float = 0.75  # P(target on the same host)
+    max_redirect_hops: int = 4
 
     # O5/V4: drop a playlist page's next-page continuation when any of its
     # video items is already seen as of round start (the reference kills the

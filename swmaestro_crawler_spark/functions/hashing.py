@@ -183,3 +183,85 @@ def bloom_positions_np(url_hash: np.ndarray, k: int, bits: int) -> np.ndarray:
 def stable64(s: str) -> int:
     """Unsigned 64-bit seed for synthetic-web RNGs (not a Spark hash)."""
     return xxhash64_str(s, seed=0) & _M64
+
+
+# ---------------------------------------------------------------------------
+# Vectorized XXH64 over fixed-width byte rows (redirect-chain resolution)
+# ---------------------------------------------------------------------------
+# The inline redirect follower (sources/synth_web.resolve_redirects_np)
+# must hash BATCHES of constructed target-URL strings inside the fetch
+# worker without dropping to per-row Python — the north rule's
+# no-per-row-Python clause applies to every hop of the hot path. Target
+# URLs of one host-name length share one byte-matrix width, so the
+# general problem reduces to XXH64 over an (n, L) uint8 matrix, which
+# vectorizes exactly like the scalar loop: the stripe/tail structure is
+# a function of L alone, so every row takes the same code path and each
+# lane read is one contiguous column-slice view.
+
+
+def _lanes_u64(mat: np.ndarray, off: int) -> np.ndarray:
+    """Little-endian uint64 lane at byte offset ``off`` of every row."""
+    return np.ascontiguousarray(mat[:, off:off + 8]).view(np.uint64).ravel()
+
+
+def _lanes_u32(mat: np.ndarray, off: int) -> np.ndarray:
+    return np.ascontiguousarray(mat[:, off:off + 4]).view(np.uint32).ravel().astype(np.uint64)
+
+
+def _rotl64_np(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxhash64_np_fixed(mat: np.ndarray, seed: int = SPARK_HASH_SEED) -> np.ndarray:
+    """XXH64 of every row of an (n, L) uint8 matrix -> signed int64 array,
+    bit-identical to ``xxhash64(row.tobytes(), seed)`` / Spark's
+    ``F.xxhash64`` over the same bytes (pinned by tests/test_redirects).
+    Assumes a little-endian host (x86/arm; asserted)."""
+    assert mat.dtype == np.uint8 and mat.ndim == 2
+    import sys
+
+    assert sys.byteorder == "little"
+    n, L = mat.shape
+    p1, p2, p3, p4, p5 = (
+        np.uint64(_P64_1), np.uint64(_P64_2), np.uint64(_P64_3),
+        np.uint64(_P64_4), np.uint64(_P64_5),
+    )
+    sd = np.uint64(seed & _M64)
+    i = 0
+    with np.errstate(over="ignore"):
+        if L >= 32:
+            v1 = np.full(n, sd + p1 + p2, dtype=np.uint64)
+            v2 = np.full(n, sd + p2, dtype=np.uint64)
+            v3 = np.full(n, sd, dtype=np.uint64)
+            v4 = np.full(n, sd - p1, dtype=np.uint64)
+
+            def rnd(acc, off):
+                return _rotl64_np(acc + _lanes_u64(mat, off) * p2, 31) * p1
+
+            while i + 32 <= L:
+                v1, v2, v3, v4 = rnd(v1, i), rnd(v2, i + 8), rnd(v3, i + 16), rnd(v4, i + 24)
+                i += 32
+            h = _rotl64_np(v1, 1) + _rotl64_np(v2, 7) + _rotl64_np(v3, 12) + _rotl64_np(v4, 18)
+            for v in (v1, v2, v3, v4):
+                h = (h ^ (_rotl64_np(v * p2, 31) * p1)) * p1 + p4
+        else:
+            h = np.full(n, sd + p5, dtype=np.uint64)
+        h = h + np.uint64(L)
+        while i + 8 <= L:
+            h ^= _rotl64_np(_lanes_u64(mat, i) * p2, 31) * p1
+            h = _rotl64_np(h, 27) * p1 + p4
+            i += 8
+        if i + 4 <= L:
+            h ^= _lanes_u32(mat, i) * p1
+            h = _rotl64_np(h, 23) * p2 + p3
+            i += 4
+        while i < L:
+            h ^= mat[:, i].astype(np.uint64) * p5
+            h = _rotl64_np(h, 11) * p1
+            i += 1
+        h ^= h >> np.uint64(33)
+        h *= p2
+        h ^= h >> np.uint64(29)
+        h *= p3
+        h ^= h >> np.uint64(32)
+    return h.view(np.int64)

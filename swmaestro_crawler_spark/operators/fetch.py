@@ -89,18 +89,35 @@ def synth_transport(cfg: CrawlConfig) -> BatchTransport:
 
     def fetch(batch):
         hashes = batch.column("url_hash").to_numpy()
-        code = synth_web.status_code_np(hashes, batch.column("attempt").to_numpy(), cfg)
+        # redirect resolution (synth_web redirect section): same-host
+        # chains are followed inline — the row serves its FINAL target's
+        # page (requests-transparent-follow parity) — while cross-host
+        # targets come back as 301 + handoff link and >max-hop chains as
+        # 508. All vectorized; a no-op when synth_redirect_prob == 0.
+        if cfg.synth_redirect_prob > 0.0:
+            eff, code_override, handoff, followed = synth_web.resolve_redirects_np(
+                hashes, batch.column("host"), cfg
+            )
+        else:
+            eff, code_override, handoff, followed = hashes, None, None, None
+        code = synth_web.status_code_np(eff, batch.column("attempt").to_numpy(), cfg)
+        kinds = synth_web.kind_codes_pa(batch.column("url"))
+        if code_override is not None:
+            code = np.where(code_override > 0, code_override, code)
+            # a followed chain always lands on a /w/ target
+            kinds = np.where(followed, synth_web.KIND_WATCH, kinds)
         ok = code == 200
         # payloads are a pure per-row function of (url_hash, host, kind):
         # computing them for the ~few-% failed rows too and masking after
         # costs less than a gather/scatter round-trip through objects
-        pl, lk = synth_web.payload_arrays(
-            hashes, batch.column("host"), cfg, synth_web.kind_codes_pa(batch.column("url"))
-        )
+        pl, lk = synth_web.payload_arrays(eff, batch.column("host"), cfg, kinds)
         ok_pa = pa.array(ok)
         blank = pa.scalar("", type=pa.string())
         payload = pc.if_else(ok_pa, pl, blank)
         links = pc.if_else(ok_pa, lk, blank)
+        if handoff is not None:
+            # 301 rows carry exactly one outlink: the cross-host target
+            links = pc.if_else(pa.array(code == synth_web.REDIRECT_CODE), handoff, links)
         synth_web.parse_work(hashes[ok], cfg.synth_work_iters)
         return code, payload, links
 

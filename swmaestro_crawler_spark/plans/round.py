@@ -318,6 +318,13 @@ def run_round_critical(
     fetched = cat.read("fetched", FETCHED)
     ok = fetched.filter(F.col("ok"))
     failed = fetched.filter(~F.col("ok"))
+    # "resolved" = conclusively fetched: ok pages PLUS cross-host 301
+    # handoffs (the URL itself never needs refetching — its single
+    # outlink, the redirect target, re-enters the frontier below and the
+    # target host's politeness budget applies there). With redirects off
+    # (synth_redirect_prob=0, the reference-parity default) no 301 rows
+    # exist and resolved == ok, so every pinned digest is unchanged.
+    resolved = fetched.filter(F.col("ok") | (F.col("status_code") == 301))
 
     # 6. span documents (the interleaved text+media payload): a ZERO-COPY
     #    manifest append — the spans table commits the scratch snapshot's
@@ -345,11 +352,13 @@ def run_round_critical(
     #    concurrency cannot change any output byte: each write keeps its
     #    deterministic repartition+sortWithinPartitions layout.
     def job_seen() -> int:
-        # seen tier exact-table update; one row per fetched-ok URL, so
+        # seen tier exact-table update; one row per RESOLVED URL (fetched
+        # ok + 301 handoffs — identical to fetched-ok when redirects are
+        # off), so
         # this commit's rows_delta IS ok_n (no separate count job)
         return cat.append(
             "seen",
-            _part_by_hash(as_seen_rows(ok, cfg.seen_buckets, r), cfg.frontier_partitions),
+            _part_by_hash(as_seen_rows(resolved, cfg.seen_buckets, r), cfg.frontier_partitions),
             meta={"round": r},
         )
 
@@ -357,7 +366,7 @@ def run_round_critical(
         # bloom increment: per-partition bitmaps over a url_hash-only
         # scan — the driver never sees individual hashes
         return build_bloom_distributed(
-            ok.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
+            resolved.select("url_hash"), bloom.shape[0] * 64, cfg.bloom_hashes
         )
 
     def job_cuckoo() -> np.ndarray:
@@ -366,7 +375,7 @@ def run_round_critical(
         # OR-reduce; same "driver never sees hashes" property)
         from ..operators.cuckoo import build_cuckoo_increment
 
-        return build_cuckoo_increment(ok.select("url_hash"), cuckoo).tables
+        return build_cuckoo_increment(resolved.select("url_hash"), cuckoo).tables
 
     # retries + dead letters (at-least-once semantics; reference nack ->
     # dead queue, New_YouTube_Crawler_Channel_Updater.py:41-46).
@@ -398,7 +407,7 @@ def run_round_critical(
     # (catalog.read resolves files eagerly), so the concurrent
     # job_seen append is invisible here by construction.
     links_exploded = (
-        ok.filter(F.col("depth") < cfg.max_depth)
+        resolved.filter(F.col("depth") < cfg.max_depth)
         .select(
             F.col("url").alias("parent"),
             F.col("depth").alias("parent_depth"),
@@ -492,7 +501,10 @@ def run_round_critical(
             .withColumn("dead_round", F.lit(r).cast("int"))
         )
         dead_fatal = (
-            failed.filter(F.col("status_code") != 500)
+            # 500 retries; 301 handoffs resolve via the frontier — neither
+            # is dead. Everything else (403/413 fatal, 508 redirect loop)
+            # aborts with no retry.
+            failed.filter(~F.col("status_code").isin(500, 301))
             .withColumn(
                 "reason", F.concat(F.lit("fatal_"), F.col("status_code").cast("string"))
             )

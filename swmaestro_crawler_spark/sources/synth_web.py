@@ -622,3 +622,148 @@ def make_seeds(cfg: CrawlConfig, n_seeds: int = 100) -> list[dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Redirects (3xx): deterministic per-URL, opt-in via synth_redirect_prob
+# ---------------------------------------------------------------------------
+# A URL is a PERMANENT redirect source with probability
+# ``synth_redirect_prob`` (drawn from its hash alone — attempt-independent,
+# like a real 301). Its target is a /w/ URL on the SAME host with
+# probability ``synth_redirect_same``, else on a Zipf-drawn host. The
+# reference's ``requests`` sessions follow redirects transparently and
+# record everything under the requested URL — the engine mirrors that for
+# same-host chains (followed inline in the vectorized fetch, content
+# recorded under the requested URL), but hands CROSS-host targets back to
+# the frontier as a 301: following them inline would bypass the target
+# host's politeness budget, the one thing a crawler must never do at
+# scale. Chains longer than ``max_redirect_hops`` resolve to HTTP 508
+# (Loop Detected) and die as fatal. Default prob 0.0 keeps every pinned
+# digest byte-identical.
+
+REDIRECT_CODE = 301
+REDIRECT_LOOP_CODE = 508
+
+_HEX_TAB_U8 = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_HTTP_PREFIX_U8 = np.frombuffer(b"http://", dtype=np.uint8)
+_W_SEG_U8 = np.frombuffer(b"/w/", dtype=np.uint8)
+
+
+def is_redirect_np(url_hash, cfg: CrawlConfig) -> np.ndarray:
+    """True where the URL is a redirect source (pure function of hash)."""
+    h = _uh(url_hash)
+    if cfg.synth_redirect_prob <= 0.0:
+        return np.zeros(len(h), dtype=bool)
+    return _u01(_mix(h, 0xBED0)) < cfg.synth_redirect_prob
+
+
+def _redirect_draws(h: np.ndarray, cfg: CrawlConfig):
+    """(same_host bool, zipf host index, 48-bit target path) per source."""
+    same = _u01(_mix(h, 0xBED1)) < cfg.synth_redirect_same
+    cdf = _zipf_cdf(cfg.synth_n_hosts, cfg.synth_zipf_s)
+    host_idx = np.searchsorted(cdf, _u01(_mix(h, 0xBED2)))
+    path = _mix(h, 0xBED3) % np.uint64(1 << 48)
+    return same, host_idx, path
+
+
+def _same_host_target_hash(hmat: np.ndarray, hlens: np.ndarray, path: np.ndarray) -> np.ndarray:
+    """xxhash64 of ``http://<host>/w/<12-hex path>`` built directly as
+    byte rows — no string objects anywhere (hot-path kernel). Rows are
+    bucketed by host length so each bucket is one fixed-width matrix."""
+    from ..functions.hashing import xxhash64_np_fixed
+
+    out = np.empty(len(hlens), dtype=np.int64)
+    for l in np.unique(hlens):
+        m = hlens == l
+        li = int(l)
+        buf = np.empty((int(m.sum()), 7 + li + 3 + 12), dtype=np.uint8)
+        buf[:, :7] = _HTTP_PREFIX_U8
+        buf[:, 7 : 7 + li] = hmat[m, :li]
+        buf[:, 7 + li : 10 + li] = _W_SEG_U8
+        p = path[m]
+        for k in range(12):
+            buf[:, 10 + li + k] = _HEX_TAB_U8[
+                ((p >> np.uint64(4 * (11 - k))) & np.uint64(0xF)).astype(np.int64)
+            ]
+        out[m] = xxhash64_np_fixed(buf)
+    return out
+
+
+def resolve_redirects_np(url_hash, host, cfg: CrawlConfig):
+    """Vectorized redirect-chain resolution for one fetch batch.
+
+    Returns ``(eff_hash, code_override, handoff, followed)``:
+    ``eff_hash`` — the hash whose page the row actually serves (the final
+    same-host target for followed chains, else the input hash);
+    ``code_override`` — 0 normal, 301 cross-host handoff, 508 chain
+    exceeded max_redirect_hops; ``handoff`` — pa.Array<string> of the
+    cross-host target for 301 rows ("" elsewhere), or None when redirects
+    are disabled; ``followed`` — bool mask of rows whose content comes
+    from a followed target (their page kind is the target's /w/ kind)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    eff = np.asarray(url_hash, dtype=np.int64).copy()
+    n = len(eff)
+    code = np.zeros(n, dtype=np.int64)
+    followed = np.zeros(n, dtype=bool)
+    if cfg.synth_redirect_prob <= 0.0 or n == 0:
+        return eff, code, None, followed
+
+    if isinstance(host, (pa.Array, pa.ChunkedArray)):
+        host_np = np.asarray(host.to_pandas(), dtype=object)
+    else:
+        host_np = np.asarray(host, dtype=object)
+    hs = np.char.encode(host_np.astype("U"), "ascii")
+    hmat = hs.view(np.uint8).reshape(n, hs.dtype.itemsize)
+    hlens = np.char.str_len(hs)
+    host_tab = np.asarray(hosts(cfg.synth_n_hosts))
+    handoff = np.full(n, "", dtype=object)
+
+    active = is_redirect_np(eff, cfg)
+    for _ in range(cfg.max_redirect_hops):
+        idx = np.flatnonzero(active)
+        if idx.size == 0:
+            break
+        same, hidx, path = _redirect_draws(_uh(eff[idx]), cfg)
+        cross = idx[~same]
+        if cross.size:
+            code[cross] = REDIRECT_CODE
+            hx = np.char.mod("%012x", path[~same].astype(np.int64))
+            handoff[cross] = np.char.add(
+                np.char.add("http://", host_tab[hidx[~same]].astype("U")),
+                np.char.add("/w/", hx),
+            )
+        sm = idx[same]
+        active = np.zeros(n, dtype=bool)
+        if sm.size:
+            eff[sm] = _same_host_target_hash(hmat[sm], hlens[sm], path[same])
+            followed[sm] = True
+            active[sm] = is_redirect_np(eff[sm], cfg)
+    # a chain still redirecting after max hops is a loop/too-deep: 508
+    code[active] = REDIRECT_LOOP_CODE
+    return eff, code, pa.array(handoff, type=pa.string()), followed
+
+
+def resolve_redirect(url: str, cfg: CrawlConfig) -> tuple[str | None, str, int]:
+    """Scalar mirror of ``resolve_redirects_np`` for the oracle:
+    (handoff_url | None, final_url, code_override 0/301/508)."""
+    if cfg.synth_redirect_prob <= 0.0:
+        return None, url, 0
+    cur = url
+    for _ in range(cfg.max_redirect_hops):
+        h = np.array([xxhash64_str(cur)], dtype=np.int64)
+        if not is_redirect_np(h, cfg)[0]:
+            return None, cur, 0
+        same, hidx, path = _redirect_draws(_uh(h), cfg)
+        tgt_host = (
+            _host_of(cur) if same[0] else hosts(cfg.synth_n_hosts)[int(hidx[0])]
+        )
+        tgt = f"http://{tgt_host}/w/{int(path[0]):012x}"
+        if not same[0]:
+            return tgt, cur, REDIRECT_CODE
+        cur = tgt
+    h = np.array([xxhash64_str(cur)], dtype=np.int64)
+    if is_redirect_np(h, cfg)[0]:
+        return None, cur, REDIRECT_LOOP_CODE
+    return None, cur, 0
