@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--cuckoo-buckets", type=int, default=None,
                     help="enable the cuckoo seen tier with 2^k buckets/shard "
                     "(pass the bucket count, e.g. 32768)")
+    ap.add_argument("--adaptive-backoff", action="store_true",
+                    help="stretch a host's effective crawl-delay 2^streak "
+                    "while its rounds keep majority-failing with transient "
+                    "errors (Heritrix/Nutch-style adaptive politeness)")
     ap.add_argument("--redirect-prob", type=float, default=0.0,
                     help="synthetic-web 3xx redirect probability (same-host "
                     "chains followed inline, cross-host 301 handoffs re-enter "
@@ -75,6 +79,7 @@ def main() -> None:
         score_compact_every=args.score_compact_every,
         cuckoo_buckets=args.cuckoo_buckets,
         synth_redirect_prob=args.redirect_prob,
+        adaptive_backoff=args.adaptive_backoff,
     )
     crawl = Crawl(spark, cfg)
     results = crawl.run(

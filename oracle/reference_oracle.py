@@ -85,6 +85,11 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
         make_row(s["url"], 0, int(s["rank"]), 0, 0, None) for s in seeds
     ]
 
+    # adaptive backoff state (mirror of politeness.host_backoff_factors):
+    # per-host streak of OBSERVED erroring rounds since the last observed
+    # non-erroring round; a round errs when transient failures >= ok and > 0
+    backoff_streak: dict[str, int] = {}
+
     for r in range(rounds):
         if not pending:
             break
@@ -115,6 +120,12 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
         deferred: list[Row] = []
         for host, hrows in by_host.items():
             delay = robots[host]["crawl_delay_s"] if host in robots else 1.0
+            if cfg.adaptive_backoff:
+                # exact power-of-two factor -> identical IEEE double
+                # arithmetic on both sides
+                delay = delay * float(
+                    1 << min(backoff_streak.get(host, 0), cfg.backoff_max_exp)
+                )
             # math.floor(a / b), NOT a // b: Python floor-division computes
             # floor((a - a%b)/b) which disagrees with IEEE a/b for 6.0/0.2
             # (29.0 vs 30.0); Spark's F.floor(lit(a)/col(b)) is the latter.
@@ -130,6 +141,9 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
         # START (the engine's batch semantics) — snapshot before this
         # round's inserts mutate res.seen
         seen_start = set(res.seen)
+        host_ok: dict[str, int] = {}
+        host_tn: dict[str, int] = {}
+        host_obs: set[str] = set()
         for ord_, row in enumerate(admitted):
             # redirect semantics (synth_web redirect section): same-host
             # chains resolve inline to their final target (content
@@ -140,6 +154,13 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
             if code == 0:
                 code = synth_web.status_code(final, row.attempt, cfg)
             ok = code == 200
+            # the engine's job_hoststats writes a row for EVERY fetched
+            # host (a fatal/301-only round still resets the streak)
+            host_obs.add(row.host)
+            if ok:
+                host_ok[row.host] = host_ok.get(row.host, 0) + 1
+            elif code == 500:
+                host_tn[row.host] = host_tn.get(row.host, 0) + 1
             res.crawl_order.append((r, ord_, row.url, row.host, row.depth, ok))
             if ok:
                 page = synth_web.page_for(final, cfg)
@@ -183,6 +204,12 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
                 )
             else:
                 res.dead.append((row.url, "max_attempts", r))
+        # adaptive-backoff streak update from this round's observations
+        for host in host_obs:
+            tn, okn = host_tn.get(host, 0), host_ok.get(host, 0)
+            backoff_streak[host] = (
+                backoff_streak.get(host, 0) + 1 if (tn > 0 and tn >= okn) else 0
+            )
         pending = next_pending
 
     res.pending_left = pending

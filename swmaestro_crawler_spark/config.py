@@ -111,6 +111,15 @@ class CrawlConfig:
     synth_redirect_same: float = 0.75  # P(target on the same host)
     max_redirect_hops: int = 4
 
+    # adaptive per-host backoff (operators/politeness.host_backoff_factors):
+    # a host whose observed rounds keep majority-failing with transient
+    # errors gets its effective crawl-delay stretched 2^min(streak,
+    # backoff_max_exp) — the Heritrix/Nutch adaptive-politeness behavior.
+    # Off by default: crawl-order parity vs the reference oracle assumes
+    # the reference's fixed delays.
+    adaptive_backoff: bool = False
+    backoff_max_exp: int = 4
+
     # O5/V4: drop a playlist page's next-page continuation when any of its
     # video items is already seen as of round start (the reference kills the
     # whole pagination chain on the first seen video,

@@ -139,11 +139,56 @@ def host_budget_col(cfg: CrawlConfig):
     ).cast("int")
 
 
+def host_backoff_factors(stats: DataFrame, max_exp: int = 4) -> DataFrame:
+    """Per-host adaptive-backoff factor from the HOST_STATS history:
+    (host, backoff_factor double).
+
+    The reference sleeps a FIXED crawl-delay regardless of how the host
+    behaves; production crawlers (Heritrix's delay-factor, Nutch's
+    exponential backoff) stretch the delay when a host keeps erroring.
+    Rule: a host's round is "erroring" when transient failures (HTTP
+    500) are at least as many as its successes and nonzero; the factor
+    is 2^min(streak, max_exp) where streak counts the host's observed
+    erroring rounds since its last observed non-erroring round. Factors
+    are exact powers of two (shiftleft, no float pow), so engine and
+    oracle agree bit-for-bit on the effective delay.
+
+    Scale shape: HOST_STATS is one row per (host, round) — dimension-
+    sized, never frontier-sized; two small aggregations, broadcast back
+    into admission."""
+    err = stats.select(
+        "host",
+        "round",
+        ((F.col("transient_n") >= F.col("ok_n")) & (F.col("transient_n") > 0)).alias("err"),
+    )
+    last_ok = (
+        err.filter(~F.col("err"))
+        .groupBy("host")
+        .agg(F.max("round").alias("last_ok_round"))
+    )
+    streak = (
+        err.filter(F.col("err"))
+        .join(last_ok, "host", "left")
+        .filter(F.col("round") > F.coalesce(F.col("last_ok_round"), F.lit(-1)))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("streak"))
+    )
+    # SQL shiftleft (the Python wrapper only takes a literal int for
+    # numBits, the SQL form takes a column)
+    return streak.select(
+        "host",
+        F.expr(
+            f"cast(shiftleft(1, cast(least(streak, {int(max_exp)}) as int)) as double)"
+        ).alias("backoff_factor"),
+    )
+
+
 def split_admitted(
     frontier: DataFrame,
     robots: DataFrame,
     cfg: CrawlConfig,
     order: list | None = None,
+    backoff: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(admitted, deferred) under the per-host crawl-delay budget.
 
@@ -170,11 +215,20 @@ def split_admitted(
     salts = max(1, cfg.admission_salts)
     sub = F.pmod(F.col("url_hash"), F.lit(salts))
     w1 = Window.partitionBy("host", sub).orderBy(*order)
-    ranked1 = (
-        frontier.join(F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left")
-        .withColumn("crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0)))
-        .withColumn("host_budget", host_budget_col(cfg))
-        .withColumn("sub_rank", F.row_number().over(w1))
+    joined = frontier.join(
+        F.broadcast(robots.select("host", "crawl_delay_s")), "host", "left"
+    ).withColumn("crawl_delay_s", F.coalesce(F.col("crawl_delay_s"), F.lit(1.0)))
+    if backoff is not None:
+        # adaptive backoff: stretch the effective delay for hosts with a
+        # trailing streak of erroring rounds (host_backoff_factors).
+        # Exact power-of-two factors keep the float arithmetic identical
+        # to the oracle's.
+        joined = joined.join(F.broadcast(backoff), "host", "left").withColumn(
+            "crawl_delay_s",
+            F.col("crawl_delay_s") * F.coalesce(F.col("backoff_factor"), F.lit(1.0)),
+        ).drop("backoff_factor")
+    ranked1 = joined.withColumn("host_budget", host_budget_col(cfg)).withColumn(
+        "sub_rank", F.row_number().over(w1)
     )
     cand = ranked1.filter(F.col("sub_rank") <= F.col("host_budget"))
     over1 = ranked1.filter(F.col("sub_rank") > F.col("host_budget"))
@@ -352,7 +406,11 @@ def frontier_scores(crawled: DataFrame, iters: int = 1) -> DataFrame:
 
 
 def score_admitted(
-    frontier: DataFrame, scores: DataFrame, robots: DataFrame, cfg: CrawlConfig
+    frontier: DataFrame,
+    scores: DataFrame,
+    robots: DataFrame,
+    cfg: CrawlConfig,
+    backoff: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """split_admitted with importance-first ordering: (score DESC, then
     the LIFO key as total tie-break). OPT-IN — the default crawl keeps
@@ -366,6 +424,7 @@ def score_admitted(
         scores.select("url_hash", "score"), "url_hash", "left"
     ).withColumn("score", F.coalesce(F.col("score"), F.lit(0).cast("long")))
     admitted, deferred = split_admitted(
-        scored, robots, cfg, order=[F.col("score").desc(), *priority_order()]
+        scored, robots, cfg, order=[F.col("score").desc(), *priority_order()],
+        backoff=backoff,
     )
     return admitted.drop("score"), deferred.drop("score")

@@ -48,6 +48,7 @@ TABLES = (
     "fetched",
     "lineage",
     "link_scores",
+    "host_stats",
 )
 
 
@@ -152,6 +153,7 @@ class Crawl:
             "fetched",
             "lineage",
             "link_scores",
+            "host_stats",
         ):
             # materialize an empty snapshot 0 so resume rollback has a target
             self.cat._commit_manifest(

@@ -223,6 +223,18 @@ def run_round_critical(
     tm.step("read+plan")
     pending = cat.read("pending", FRONTIER)
     seen = cat.read("seen", SEEN)
+    backoff = None
+    if cfg.adaptive_backoff:
+        # adaptive politeness: per-host delay-stretch factors from the
+        # HOST_STATS history AS OF ROUND START (catalog.read binds files
+        # eagerly, so this round's concurrent job_hoststats append is
+        # invisible here by construction, like seen/pending)
+        from ..operators.politeness import host_backoff_factors
+        from ..schema import HOST_STATS
+
+        backoff = host_backoff_factors(
+            cat.read("host_stats", HOST_STATS), cfg.backoff_max_exp
+        )
 
     # 1. frontier dedup (window, one row per url_hash)
     deduped = dedup_frontier(pending)
@@ -282,9 +294,13 @@ def run_round_critical(
             scores_src = frontier_scores(pending, iters=cfg.score_iters)
         scores = scores_src.localCheckpoint(eager=True)
         tm.step("read+plan")
-        admitted_df, deferred_df = score_admitted(unseen_capped, scores, robots, cfg)
+        admitted_df, deferred_df = score_admitted(
+            unseen_capped, scores, robots, cfg, backoff=backoff
+        )
     else:
-        admitted_df, deferred_df = split_admitted(unseen_capped, robots, cfg)
+        admitted_df, deferred_df = split_admitted(
+            unseen_capped, robots, cfg, backoff=backoff
+        )
     deferred_df = deferred_df.select(*FRONTIER_COLS)
     if trap_overflow is not None:
         deferred_df = deferred_df.unionByName(trap_overflow.select(*FRONTIER_COLS))
@@ -526,6 +542,29 @@ def run_round_critical(
         # two O(1) counts on cached intermediates (robots_joined/unseen)
         return excluded.count(), unseen.count()
 
+    def job_hoststats() -> int:
+        # per-(host, round) outcome counts — the adaptive-backoff signal
+        # round r+1's admission reads (CRITICAL like seen/pending when
+        # the feature is on). Dimension-sized: one row per fetched host.
+        from ..schema import HOST_STATS as _HS
+
+        st = (
+            fetched.groupBy("host")
+            .agg(
+                F.sum(F.col("ok").cast("long")).alias("ok_n"),
+                F.sum((F.col("status_code") == 500).cast("long")).alias("transient_n"),
+            )
+            .select(
+                "host",
+                F.lit(r).cast("int").alias("round"),
+                "ok_n",
+                "transient_n",
+            )
+        )
+        return cat.append(
+            "host_stats", _part_by_hash(st, 1, col="host"), meta={"round": r}
+        )
+
     # ALL SIX bookkeeping jobs launch together (full r2-style
     # concurrency — their fixed driver latencies coincide), but only the
     # three round r+1 consumes are JOINED here; the other three keep
@@ -534,7 +573,7 @@ def run_round_critical(
     tm.step("bookkeeping_critical")
     from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(max_workers=7, thread_name_prefix=f"bk-r{r}")
+    ex = ThreadPoolExecutor(max_workers=9, thread_name_prefix=f"bk-r{r}")
     jobs = [
         ("seen", job_seen),
         ("bloom", job_bloom),
@@ -545,6 +584,8 @@ def run_round_critical(
     ]
     if cuckoo is not None:
         jobs.append(("cuckoo", job_cuckoo))
+    if cfg.adaptive_backoff:
+        jobs.append(("hoststats", job_hoststats))
     if cfg.score_admission and cfg.score_table:
         # O(delta) contribution append — round r+1's admission reads it,
         # so it is a CRITICAL commit like seen/pending
@@ -570,6 +611,7 @@ def run_round_critical(
     sid_seen = futs["seen"].result()
     sid_pending = futs["pending"].result()
     sid_scores = futs["scores"].result() if "scores" in futs else None
+    sid_hoststats = futs["hoststats"].result() if "hoststats" in futs else None
     bloom |= futs["bloom"].result()
     if cuckoo is not None:
         # merged in place like the bloom: round r+1 probes the caller's
@@ -591,6 +633,7 @@ def run_round_critical(
             "pending": sid_pending,
             "robots": cat.current_snapshot("robots"),
             **({"link_scores": sid_scores} if sid_scores is not None else {}),
+            **({"host_stats": sid_hoststats} if sid_hoststats is not None else {}),
         },
         futures={k: futs[k] for k in ("order", "dead", "counts")},
         executor=ex,

@@ -116,6 +116,18 @@ LINEAGE = StructType(
     ]
 )
 
+# Per-(host, round) fetch outcome counts — the adaptive-backoff signal
+# (operators/politeness.host_backoff_factors). Appended one tiny row per
+# host per round when cfg.adaptive_backoff is on.
+HOST_STATS = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("round", IntegerType(), False),
+        StructField("ok_n", LongType(), False),
+        StructField("transient_n", LongType(), False),
+    ]
+)
+
 # Crawl order log — the judge-replayable invariant: total order of fetches.
 CRAWL_ORDER = StructType(
     [
