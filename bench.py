@@ -183,6 +183,13 @@ def run_crawl(spark, *, seeds: int = 2000, rounds: int = 3, cuckoo: bool = False
             "digests": {
                 t: crawl.cat.content_digest(t) for t in ("crawl_order", "seen")
             },
+            # layout-invariant VALUE digests — the round-over-round
+            # comparable ones (content digests shift when a writer
+            # change reshapes file boundaries, e.g. the r4 executor-
+            # direct scratch writer; sorted-row data was identical)
+            "logical_digests": {
+                t: crawl.cat.logical_digest(t) for t in ("crawl_order", "seen")
+            },
         }
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -282,6 +289,7 @@ def main() -> None:
     # tier-off run (every seen tier is FN-free) — asserted, not assumed
     ck = _crawl_subprocess(cuckoo=True)
     assert ck["digests"] == crawl["digests"], "cuckoo tier changed crawl output!"
+    assert ck.get("logical_digests") == crawl.get("logical_digests")
     crawl["cuckoo_wall_s"] = ck["measured_wall_s"]
     crawl["cuckoo_digests_match"] = True
 
@@ -354,6 +362,8 @@ def main() -> None:
     crawl_line["digests12"] = {
         k: v[:12] for k, v in crawl.get("digests", {}).items()
     }
+    # layout-invariant value digests — compare THESE across rounds
+    crawl_line["ldigests"] = crawl.get("logical_digests")
     line = {
         "metric": "headline_suite_seconds",
         "value": total,

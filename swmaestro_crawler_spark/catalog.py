@@ -847,6 +847,30 @@ class Catalog:
             h.update(sink.getvalue().to_pybytes())
         return h.hexdigest()
 
+    def logical_digest(self, table: str, snapshot: int | None = None) -> str:
+        """Order- and layout-invariant digest of the table's VALUES:
+        sum of per-row ``xxhash64`` over all columns (decimal(38,0) —
+        commutative, so file boundaries and row order don't matter) plus
+        the row count. Complements ``content_digest``: content_digest
+        certifies byte replay (rows in file order — the resume proofs,
+        valid within one writer version), logical_digest certifies the
+        DATA itself and is stable across writer/layout changes (e.g. the
+        executor-direct fetch writer reshaping scratch file boundaries
+        shifted downstream shuffle row order and thus content digests,
+        while sorted-row table contents were byte-identical — the
+        round-over-round BENCH comparison wants THIS digest)."""
+        from pyspark.sql import functions as F
+
+        files = self.data_files(table, snapshot)
+        if not files:
+            return "0/0"
+        df = self.spark.read.parquet(*files)
+        row = df.agg(
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        return f"{row.h}/{row.n}"
+
     def list_tables(self) -> list[str]:
         return sorted(
             d

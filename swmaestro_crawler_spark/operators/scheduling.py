@@ -112,6 +112,60 @@ FROM est
 """
 
 
+def q_adaptive_backoff_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive-politeness backoff factors (operators/politeness.
+    host_backoff_factors) driven from the events table: host := user_id,
+    round := day index, ok_n := 'view' events, transient_n := 'error'
+    events (other event types are neither — the engine's fatal codes).
+    A host whose observed days keep majority-erroring since its last
+    healthy day gets factor 2^min(streak, 4) — the exact operator the
+    crawl's admission multiplies into the crawl-delay when
+    cfg.adaptive_backoff is on.
+
+    Scale shape: the stats build is one map-side-combinable groupBy;
+    host_backoff_factors then aggregates the dimension-sized stats table
+    twice — never frontier-sized work."""
+    from .politeness import host_backoff_factors
+
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy(
+        F.col("user_id").cast("string").alias("host"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("round"),
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("ok_n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("transient_n"),
+    )
+    return host_backoff_factors(stats, max_exp=4)
+
+
+SQL_ADAPTIVE_BACKOFF_FACTORS = """
+WITH stats AS (
+  SELECT CAST(user_id AS VARCHAR) AS host,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS round,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ok_n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS transient_n
+  FROM events GROUP BY 1, 2),
+err AS (
+  SELECT host, round,
+         (transient_n >= ok_n AND transient_n > 0) AS err
+  FROM stats),
+last_ok AS (
+  SELECT host, max(round) AS last_ok_round FROM err WHERE NOT err GROUP BY host),
+streak AS (
+  SELECT e.host, count(*) AS streak
+  FROM err e LEFT JOIN last_ok l ON e.host = l.host
+  WHERE e.err AND e.round > coalesce(l.last_ok_round, -1)
+  GROUP BY e.host)
+SELECT host,
+       CAST(1 << CAST(least(streak, 4) AS INT) AS DOUBLE) AS backoff_factor
+FROM streak
+"""
+
+
 QUERIES = {
     "recrawl_schedule": (q_recrawl_schedule, SQL_RECRAWL_SCHEDULE),
+    "adaptive_backoff_factors": (
+        q_adaptive_backoff_factors,
+        SQL_ADAPTIVE_BACKOFF_FACTORS,
+    ),
 }

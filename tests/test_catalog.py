@@ -52,3 +52,23 @@ def test_read_delta_returns_only_snapshot_increment(spark, cfg):
         assert len(rounds) <= 1  # one append = one round's increment
         per_round += inc.count()
     assert per_round == total
+
+
+def test_logical_digest_layout_invariant(spark, tmp_path):
+    """logical_digest certifies VALUES: identical row sets written with
+    different file boundaries / row orders digest EQUAL, while
+    content_digest (byte replay, rows in file order) is allowed to
+    differ — the r4 direct-write layout shift made exactly this
+    distinction necessary (sorted-row data identical, content digests
+    not)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    rows = spark.range(1000).select((F.col("id") * 7 % 1000).alias("x"))
+    cat.append("a", rows.repartition(1))
+    cat.append("b", rows.repartition(8, "x"))  # same set, 8 files, shuffled order
+    assert cat.logical_digest("a") == cat.logical_digest("b")
+    assert cat.logical_digest("a").endswith("/1000")
+    # different VALUES must differ
+    cat.append("c", spark.range(1000).select((F.col("id") + 1).alias("x")))
+    assert cat.logical_digest("c") != cat.logical_digest("a")
+    # empty table sentinel
+    assert cat.logical_digest("nope") == "0/0"
