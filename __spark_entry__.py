@@ -104,6 +104,7 @@ def _all_modules():
 # first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
+    "dupspan_removal",
     "adaptive_backoff_factors",
     "opic_score_table",
     "multimodal_av_probe",

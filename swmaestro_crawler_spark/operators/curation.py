@@ -189,6 +189,117 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# duplicate-span REMOVAL: the actual text surgery (Lee et al. 2022 §4)
+# ---------------------------------------------------------------------------
+
+
+def dup_removal_positions(w: DataFrame, n: int) -> DataFrame:
+    """Word positions to cut, per doc, under the keep-one rule: a window
+    hash occurring in >=2 distinct docs is a duplicated span; the doc
+    with the smallest doc_id containing the hash KEEPS its occurrences,
+    every other doc loses the n covered words.
+
+    ``w`` is ``(doc_id, pos, gh)`` from ``ngram_windows`` + the window
+    hash. Returns ``(doc_id, q)`` distinct covered word positions.
+
+    Scale shape: the dup-set groupBy and the join back are both keyed on
+    the 32-bit window hash (uniform by construction — no skew); the ×n
+    position explode applies only to DUPLICATED windows, so the covered
+    table is proportional to dup density, never corpus size.
+    """
+    dup = (
+        w.groupBy("gh")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gh", "keeper")
+    )
+    remw = (
+        w.join(dup, "gh")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    return remw.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("q"),
+    ).distinct()
+
+
+def remove_spans(docs: DataFrame, covered: DataFrame) -> DataFrame:
+    """Cut the covered word positions out of each doc's text. The cut is
+    a pure codegen array expression (indexed ``filter`` + ``concat_ws``)
+    over the doc's own word array — the corpus text crosses exactly one
+    join (docs ⋈ per-doc position arrays on doc_id; the right side is
+    dup-doc-sized, AQE broadcasts it when small), never an explode."""
+    rem = covered.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("q")).alias("qs")
+    )
+    qs0 = F.coalesce(F.col("qs"), F.expr("CAST(array() AS ARRAY<INT>)"))
+    kept = F.filter(F.col("ws"), lambda _w, i: ~F.array_contains(qs0, i))
+    return (
+        docs.withColumn("ws", words(F.col("text")))
+        .join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.coalesce(F.size("qs"), F.lit(0)).cast("long").alias("n_removed_words"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
+    )
+
+
+def q_dupspan_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level duplicate-span removal (Lee et al. 2022, the surgery
+    q_dupspan only detects): every 8-word window duplicated across >=2
+    distinct docs is cut from every doc except the smallest-doc_id
+    keeper; emits the surgically cleaned corpus
+    (doc_id, n_words, n_removed_words, cleaned_text)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = ngram_windows(docs, DUPSPAN_NGRAM).select(
+        "doc_id", "pos", word_hash(F.col("g")).alias("gh")
+    )
+    return remove_spans(docs, dup_removal_positions(w, DUPSPAN_NGRAM))
+
+
+SQL_DUPSPAN_REMOVAL = f"""
+WITH w AS (
+  SELECT doc_id, pos, {SQL_WORD_HASH.format(c='g')} AS gh
+  FROM ({_sql_ngram_windows(DUPSPAN_NGRAM)})),
+dup AS (
+  SELECT gh, min(doc_id) AS keeper
+  FROM w GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.pos + j.j AS q
+  FROM w JOIN dup USING (gh), generate_series(0, {DUPSPAN_NGRAM - 1}) AS j(j)
+  WHERE w.doc_id <> dup.keeper),
+d AS (SELECT doc_id, {SQL_WORDS.format(c='text')} AS ws FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws)),
+                i -> {{'q': i - 1, 'w': ws[i]}})) AS x
+  FROM d),
+keptagg AS (
+  SELECT t.doc_id, string_agg(t.x.w, ' ' ORDER BY t.x.q) AS cleaned_text
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.q = t.x.q)
+  GROUP BY t.doc_id),
+remn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_words
+  FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       coalesce(remn.n_removed_words, 0) AS n_removed_words,
+       coalesce(keptagg.cleaned_text, '') AS cleaned_text
+FROM d
+LEFT JOIN remn USING (doc_id)
+LEFT JOIN keptagg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # repetition flag: top-bigram fraction (Gopher rule family)
 # ---------------------------------------------------------------------------
 
@@ -493,6 +604,7 @@ FROM agg
 QUERIES = {
     "decontam_benchmark_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "dupspan_ngram_windows": (q_dupspan, SQL_DUPSPAN),
+    "dupspan_removal": (q_dupspan_removal, SQL_DUPSPAN_REMOVAL),
     "repetition_top_bigram": (q_top_bigram, SQL_TOP_BIGRAM),
     "domain_mixture_sample": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),

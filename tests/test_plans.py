@@ -229,6 +229,23 @@ def test_dupspan_and_mixture_shapes(spark):
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in mix
 
 
+def test_dupspan_removal_no_quadratic_shape(spark):
+    """The surgery never goes quadratic: dup set and join-back keyed on
+    the uniform window hash; the cut is an array expression, so the only
+    Generate nodes are the window/position explodes, never a token
+    explode of the corpus on the reassembly side."""
+    from swmaestro_crawler_spark.operators.curation import q_dupspan_removal
+
+    plan = plan_of(q_dupspan_removal(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 3 Generate nodes (each named twice in formatted output): the two
+    # window explodes feeding the dup set + join-back, and the ×W
+    # covered-position explode on DUPLICATED windows only — no token
+    # explode of the corpus on the reassembly side
+    assert plan.count("Generate") == 6
+
+
 def test_int8_quantize_broadcasts_dim_stats(spark):
     """The 64-row per-dimension stats table must broadcast back onto the
     component stream — the corpus never shuffles for the quantization."""
