@@ -51,6 +51,13 @@ def main() -> None:
                     help="synthetic-web 3xx redirect probability (same-host "
                     "chains followed inline, cross-host 301 handoffs re-enter "
                     "the frontier, >4-hop chains die as 508)")
+    ap.add_argument("--revisit-round", type=int, default=None,
+                    help="after the crawl, run one revisit round at this "
+                    "round number (change-rate due frontier)")
+    ap.add_argument("--conditional-revisit", action="store_true",
+                    help="revalidate: unchanged pages become 4-column "
+                    "observation rows instead of re-stored span documents "
+                    "(HTTP If-None-Match shape)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -100,6 +107,13 @@ def main() -> None:
                 }
             )
         )
+    if args.revisit_round is not None:
+        from swmaestro_crawler_spark.plans.revisit import run_revisit
+
+        print(json.dumps(run_revisit(
+            spark, crawl.cat, cfg, args.revisit_round,
+            conditional=args.conditional_revisit,
+        )))
     print(json.dumps({"rounds_run": len(results), "warehouse": cfg.warehouse}))
     spark.stop()
 

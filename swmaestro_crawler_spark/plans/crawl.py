@@ -49,6 +49,7 @@ TABLES = (
     "lineage",
     "link_scores",
     "host_stats",
+    "observations",
 )
 
 

@@ -35,10 +35,10 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import Catalog
 from ..config import CrawlConfig
 from ..functions.canonical import with_canonical
-from ..operators.fetch import FETCHED, fetch_stage
+from ..operators.fetch import FETCHED, fetch_stage, synth_transport
 from ..operators.politeness import split_admitted, split_robots_excluded
 from ..operators.seen import as_seen_rows
-from ..schema import ROBOTS, SPANS_DOC
+from ..schema import OBSERVATIONS, ROBOTS, SPANS_DOC
 from .round import FRONTIER_COLS, _part_by_hash
 
 # intervals are measured in crawl rounds (the engine's clock); a page
@@ -48,16 +48,32 @@ MIN_INTERVAL_ROUNDS = 1
 MAX_INTERVAL_ROUNDS = 64
 
 
-def revisit_schedule(spans: DataFrame) -> DataFrame:
-    """Per-URL change-rate estimate over the span observation history:
+def content_fp(spans_col) -> F.Column:
+    """The revalidation validator: a content fingerprint of the span
+    sequence (the engine's ETag). Deterministic — ``to_json`` of the
+    span structs is a pure function of (kind, text, media_ref, offset)."""
+    return F.xxhash64(F.to_json(spans_col))
+
+
+def revisit_schedule(
+    spans: DataFrame, observations: DataFrame | None = None
+) -> DataFrame:
+    """Per-URL change-rate estimate over the observation history — span
+    documents plus (when conditional revalidation is on) the tiny
+    not-modified observation rows, which carry the UNCHANGED fingerprint
+    and therefore extend the history without re-storing content:
     (doc_id, host, n_obs, n_changes, last_round, interval_rounds,
     due_round)."""
     obs = spans.select(
         "doc_id",
         "host",
         "round",
-        F.xxhash64(F.to_json(F.col("spans"))).alias("content_fp"),
+        content_fp(F.col("spans")).alias("content_fp"),
     )
+    if observations is not None:
+        obs = obs.unionByName(
+            observations.select("doc_id", "host", "round", "content_fp")
+        )
     w = Window.partitionBy("doc_id").orderBy("round")
     hist = obs.select(
         "doc_id",
@@ -99,9 +115,9 @@ def revisit_frontier(cat: Catalog, now_round: int) -> DataFrame:
     """FRONTIER-schema rows for every URL due at ``now_round``. seq =
     url_hash: a deterministic, data-derived priority that needs no global
     ordering pass (revisits have no parent link index)."""
-    due = revisit_schedule(cat.read("spans", SPANS_DOC)).filter(
-        F.col("due_round") <= F.lit(int(now_round))
-    )
+    due = revisit_schedule(
+        cat.read("spans", SPANS_DOC), cat.read("observations", OBSERVATIONS)
+    ).filter(F.col("due_round") <= F.lit(int(now_round)))
     return (
         due.select(F.col("doc_id").alias("url"))
         .transform(with_canonical)
@@ -118,14 +134,52 @@ def revisit_frontier(cat: Catalog, now_round: int) -> DataFrame:
     )
 
 
+def last_fingerprints(cat: Catalog) -> DataFrame:
+    """Latest known content fingerprint per URL — the validator a
+    conditional revisit compares against (the crawler-side half of HTTP
+    If-None-Match). One union + one doc_id-keyed window; the observation
+    rows are 4 columns, never span bytes."""
+    spans_fp = cat.read("spans", SPANS_DOC).select(
+        "doc_id", "round", content_fp(F.col("spans")).alias("fp")
+    )
+    obs = cat.read("observations", OBSERVATIONS).select(
+        "doc_id", "round", F.col("content_fp").alias("fp")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("round").desc())
+    return (
+        spans_fp.unionByName(obs)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("fp").alias("last_fp"))
+    )
+
+
+def _sorted_fetch(df: DataFrame) -> DataFrame:
+    return df.sortWithinPartitions("host", F.col("depth").desc(), "seq", "url_hash")
+
+
 def run_revisit(
-    spark: SparkSession, cat: Catalog, cfg: CrawlConfig, now_round: int
+    spark: SparkSession,
+    cat: Catalog,
+    cfg: CrawlConfig,
+    now_round: int,
+    transport_factory=synth_transport,
+    conditional: bool = False,
 ) -> dict:
     """One revisit round: due frontier -> robots + politeness admission ->
     batch fetch -> spans/seen append. Returns summary counts. Commits
     ordinary catalog snapshots (time-traveled like any other); run it
     between crawls — the next crawl's checkpoint protocol picks up the
-    post-revisit snapshot ids."""
+    post-revisit snapshot ids.
+
+    ``conditional=True`` is the HTTP conditional-GET shape (RFC 9110
+    §13.1): a refetched page whose content fingerprint equals the last
+    known one is recorded as a 4-column OBSERVATIONS row instead of
+    re-storing its full span document — at 10^10 URLs a revisit sweep is
+    mostly unchanged pages, so this turns the dominant storage write into
+    metadata. The change-rate estimator unions both histories
+    (``revisit_schedule``), so scheduling is EXACTLY what full re-storage
+    would compute — pinned by tests/test_conditional_revisit.py."""
     robots = cat.read("robots", ROBOTS)
     frontier = revisit_frontier(cat, now_round)
     allowed, _excluded, _ = split_robots_excluded(frontier, robots)
@@ -133,20 +187,67 @@ def run_revisit(
     admitted = admitted.withColumn("fingerprint", F.hash(F.col("url")))
     sid = cat.overwrite(
         "fetched",
-        fetch_stage(admitted, cfg, now_round).sortWithinPartitions(
-            "host", F.col("depth").desc(), "seq", "url_hash"
-        ),
+        _sorted_fetch(fetch_stage(admitted, cfg, now_round, transport_factory)),
         meta={"round": int(now_round), "revisit": True},
     )
-    cat.append_files(
-        "spans",
-        "fetched",
-        sid,
-        meta={"round": int(now_round), "revisit": True},
-        column_map={"doc_id": "url", "round": "fetch_round"},
-        row_filter="ok",
-    )
-    ok = cat.read("fetched", FETCHED).filter(F.col("ok"))
+    ok = cat.read("fetched", FETCHED, snapshot=sid).filter(F.col("ok"))
+    res = {
+        "round": int(now_round),
+        "admitted": admitted.count(),
+        "deferred": deferred.count(),
+        "refetched_ok": ok.count(),
+    }
+    if not conditional:
+        cat.append_files(
+            "spans",
+            "fetched",
+            sid,
+            meta={"round": int(now_round), "revisit": True},
+            column_map={"doc_id": "url", "round": "fetch_round"},
+            row_filter="ok",
+        )
+    else:
+        j = ok.withColumn("new_fp", content_fp(F.col("spans"))).join(
+            last_fingerprints(cat),
+            F.col("url") == F.col("doc_id"),
+            "left",
+        )
+        unchanged = j.filter(
+            F.col("last_fp").isNotNull() & (F.col("new_fp") == F.col("last_fp"))
+        )
+        changed = j.filter(
+            F.col("last_fp").isNull() | (F.col("new_fp") != F.col("last_fp"))
+        )
+        cat.append(
+            "observations",
+            unchanged.select(
+                F.col("url").alias("doc_id"),
+                "host",
+                F.lit(int(now_round)).cast("int").alias("round"),
+                F.col("new_fp").alias("content_fp"),
+            ),
+            meta={"round": int(now_round), "revisit": True},
+        )
+        # re-stage only the CHANGED rows in the exact FETCHED layout the
+        # spans table's zero-copy props mapping reads; an all-304 sweep
+        # commits NOTHING to spans (digest-stable, not even empty files)
+        n_changed = changed.count()
+        if n_changed:
+            sid_changed = cat.overwrite(
+                "fetched",
+                _sorted_fetch(changed.select(*FETCHED.fieldNames())),
+                meta={"round": int(now_round), "revisit": True, "revalidated": True},
+            )
+            cat.append_files(
+                "spans",
+                "fetched",
+                sid_changed,
+                meta={"round": int(now_round), "revisit": True},
+                column_map={"doc_id": "url", "round": "fetch_round"},
+                row_filter="ok",
+            )
+        res["modified"] = n_changed
+        res["not_modified"] = res["refetched_ok"] - n_changed
     cat.append(
         "seen",
         _part_by_hash(
@@ -154,9 +255,4 @@ def run_revisit(
         ),
         meta={"round": int(now_round), "revisit": True},
     )
-    return {
-        "round": int(now_round),
-        "admitted": admitted.count(),
-        "deferred": deferred.count(),
-        "refetched_ok": ok.count(),
-    }
+    return res

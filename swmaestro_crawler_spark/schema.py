@@ -128,6 +128,20 @@ HOST_STATS = StructType(
     ]
 )
 
+# Revalidation observations (engine-new; the HTTP conditional-GET shape,
+# RFC 9110 §13.1): one tiny row per UNCHANGED revisit fetch instead of a
+# re-stored duplicate span document (plans/revisit.run_revisit
+# conditional=True). The change-rate estimator unions these with the
+# span history, so scheduling quality is identical to full re-storage.
+OBSERVATIONS = StructType(
+    [
+        StructField("doc_id", StringType(), False),  # canonical URL
+        StructField("host", StringType(), False),
+        StructField("round", IntegerType(), False),
+        StructField("content_fp", LongType(), False),
+    ]
+)
+
 # Crawl order log — the judge-replayable invariant: total order of fetches.
 CRAWL_ORDER = StructType(
     [
