@@ -649,7 +649,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-SQL_DEDUP_CLUSTERS = f"""
+_SQL_CLUSTERS_CTES = f"""
 WITH RECURSIVE {_sql_candidate_ctes()},
 n_match_pairs AS (
   SELECT doc_a, doc_b FROM pairs
@@ -664,9 +664,56 @@ edges AS (
 reach(doc, m) AS (
   SELECT DISTINCT src, src FROM edges
   UNION
-  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.doc)
-SELECT doc, CAST(min(m) AS BIGINT) AS comp FROM reach GROUP BY doc
+  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.doc)"""
+
+SQL_DEDUP_CLUSTERS = (
+    _SQL_CLUSTERS_CTES
+    + "\nSELECT doc, CAST(min(m) AS BIGINT) AS comp FROM reach GROUP BY doc"
+)
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the curation step that CONSUMES
+    the near-dup clusters: keep exactly one doc per MinHash/LSH cluster,
+    the longest one (ties -> smallest doc_id), the SlimPajama/BigCode
+    keep-longest rule. Docs in no cluster are singleton keepers.
+
+    Scale shape: the component labels cover only docs that appear in a
+    candidate pair (dup-density-sized, broadcastable); the full corpus
+    crosses one left join + one window partitioned by cluster id —
+    clusters are small by construction, singletons are one-row windows,
+    so no skewed reducer."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    comp = q_dedup_clusters(spark, sf_dir)
+    lab = docs.join(comp, docs.doc_id == comp.doc, "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("comp", "doc_id").alias("comp"),
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return lab.select(
+        "doc_id",
+        "comp",
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )
+
+
+SQL_CLUSTER_REPRESENTATIVES = (
+    _SQL_CLUSTERS_CTES
+    + """,
+comps AS (SELECT doc, CAST(min(m) AS BIGINT) AS comp FROM reach GROUP BY doc),
+lab AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.comp, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc)
+SELECT doc_id, comp,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY comp ORDER BY n_chars DESC, doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM lab
 """
+)
 
 
 QUERIES = {
@@ -678,5 +725,9 @@ QUERIES = {
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
     "dedup_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_cluster_representatives": (
+        q_cluster_representatives,
+        SQL_CLUSTER_REPRESENTATIVES,
+    ),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
 }
