@@ -115,6 +115,7 @@ _NEVER_CHECKED_FIRST = (
     "embedding_int8_quantize",
     "kmeans_centroids",
     "ann_ivf_recall",
+    "ann_ivf_topk",
     "semantic_dedup",
     "hll_distinct",
     "kmv_distinct",

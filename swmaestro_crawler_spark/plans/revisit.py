@@ -35,11 +35,16 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ..catalog import Catalog
 from ..config import CrawlConfig
 from ..functions.canonical import with_canonical
-from ..operators.fetch import FETCHED, fetch_stage, synth_transport
+from ..operators.fetch import (
+    FETCHED,
+    fetch_stage,
+    fetch_stage_direct,
+    synth_transport,
+)
 from ..operators.politeness import split_admitted, split_robots_excluded
 from ..operators.seen import as_seen_rows
 from ..schema import OBSERVATIONS, ROBOTS, SPANS_DOC
-from .round import FRONTIER_COLS, _part_by_hash
+from .round import FRONTIER_COLS, _part_by_hash, _StepTimer
 
 # intervals are measured in crawl rounds (the engine's clock); a page
 # never seen changing waits the maximum, a churning page is re-eligible
@@ -180,24 +185,42 @@ def run_revisit(
     metadata. The change-rate estimator unions both histories
     (``revisit_schedule``), so scheduling is EXACTLY what full re-storage
     would compute — pinned by tests/test_conditional_revisit.py."""
+    tm = _StepTimer()
+    tm.step("admit_fetch_write")
     robots = cat.read("robots", ROBOTS)
     frontier = revisit_frontier(cat, now_round)
     allowed, _excluded, _ = split_robots_excluded(frontier, robots)
     admitted, deferred = split_admitted(allowed.select(*FRONTIER_COLS), robots, cfg)
     admitted = admitted.withColumn("fingerprint", F.hash(F.col("url")))
-    sid = cat.overwrite(
-        "fetched",
-        _sorted_fetch(fetch_stage(admitted, cfg, now_round, transport_factory)),
-        meta={"round": int(now_round), "revisit": True},
-    )
+    meta = {"round": int(now_round), "revisit": True}
+    if cfg.fetch_direct_write:
+        # same executor-direct columnar write as the round pipeline:
+        # span/link bytes go Arrow -> parquet inside the Python workers,
+        # the JVM sees per-partition stats rows only (content- and
+        # layout-identical to the JVM path, digest-pinned there)
+        stage = cat.new_stage("fetched")
+        fetch_stage_direct(admitted, cfg, now_round, stage, transport_factory).agg(
+            F.sum("rows")
+        ).first()
+        sid = cat.overwrite_stage("fetched", stage, meta=meta)
+    else:
+        sid = cat.overwrite(
+            "fetched",
+            _sorted_fetch(fetch_stage(admitted, cfg, now_round, transport_factory)),
+            meta=meta,
+        )
     ok = cat.read("fetched", FETCHED, snapshot=sid).filter(F.col("ok"))
+    tm.step("counts")
     res = {
         "round": int(now_round),
-        "admitted": admitted.count(),
+        # one FETCHED row per admitted URL -> the committed snapshot's
+        # row count IS the admitted count (no re-run of the admission DAG)
+        "admitted": cat.rows_delta("fetched", sid),
         "deferred": deferred.count(),
         "refetched_ok": ok.count(),
     }
     if not conditional:
+        tm.step("spans_adopt")
         cat.append_files(
             "spans",
             "fetched",
@@ -207,10 +230,18 @@ def run_revisit(
             row_filter="ok",
         )
     else:
-        j = ok.withColumn("new_fp", content_fp(F.col("spans"))).join(
-            last_fingerprints(cat),
-            F.col("url") == F.col("doc_id"),
-            "left",
+        tm.step("revalidate_observations")
+        # persist: the split below drives three actions (observation
+        # append, changed count, changed re-stage) — without a cut each
+        # would re-run the full-history fingerprint window
+        j = (
+            ok.withColumn("new_fp", content_fp(F.col("spans")))
+            .join(
+                last_fingerprints(cat),
+                F.col("url") == F.col("doc_id"),
+                "left",
+            )
+            .persist()
         )
         unchanged = j.filter(
             F.col("last_fp").isNotNull() & (F.col("new_fp") == F.col("last_fp"))
@@ -225,12 +256,18 @@ def run_revisit(
                 "host",
                 F.lit(int(now_round)).cast("int").alias("round"),
                 F.col("new_fp").alias("content_fp"),
-            ),
+            )
+            # deterministic layout (like the other bookkeeping tables):
+            # hash-partitioned + sorted, so identical warehouses commit
+            # byte-identical observation files at any parallelism
+            .repartition(cfg.frontier_partitions, "doc_id")
+            .sortWithinPartitions("doc_id"),
             meta={"round": int(now_round), "revisit": True},
         )
         # re-stage only the CHANGED rows in the exact FETCHED layout the
         # spans table's zero-copy props mapping reads; an all-304 sweep
         # commits NOTHING to spans (digest-stable, not even empty files)
+        tm.step("revalidate_changed")
         n_changed = changed.count()
         if n_changed:
             sid_changed = cat.overwrite(
@@ -248,6 +285,8 @@ def run_revisit(
             )
         res["modified"] = n_changed
         res["not_modified"] = res["refetched_ok"] - n_changed
+        j.unpersist()
+    tm.step("seen_append")
     cat.append(
         "seen",
         _part_by_hash(
@@ -255,4 +294,6 @@ def run_revisit(
         ),
         meta={"round": int(now_round), "revisit": True},
     )
+    tm.done()
+    res["timings"] = {k: round(v, 3) for k, v in tm.times.items()}
     return res

@@ -120,13 +120,23 @@ def test_conditional_estimator_equals_full_restorage(spark, tmp_path):
     SAME change-rate estimates for every URL."""
     cfg, c = _crawl(spark, str(tmp_path / "wh1"), seeds=20)
     shutil.copytree(str(tmp_path / "wh1"), str(tmp_path / "wh2"))
+    shutil.copytree(str(tmp_path / "wh1"), str(tmp_path / "wh3"))
     cat2 = Catalog(spark, str(tmp_path / "wh2"))
     cfg2 = small_cfg(str(tmp_path / "wh2"))
+    cat3 = Catalog(spark, str(tmp_path / "wh3"))
+    cfg3 = small_cfg(str(tmp_path / "wh3"))
 
     run_revisit(spark, c.cat, cfg, now_round=100,
                 transport_factory=mutating_transport, conditional=True)
     run_revisit(spark, cat2, cfg2, now_round=100,
                 transport_factory=mutating_transport, conditional=False)
+    run_revisit(spark, cat3, cfg3, now_round=100,
+                transport_factory=mutating_transport, conditional=True)
+    # identical warehouses + conditional sweep -> byte-identical commits
+    assert c.cat.content_digest("observations") == cat3.content_digest(
+        "observations"
+    )
+    assert c.cat.content_digest("spans") == cat3.content_digest("spans")
 
     a, b = _sched(c.cat), _sched(cat2)
     assert a.keys() == b.keys()

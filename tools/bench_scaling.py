@@ -187,6 +187,44 @@ def worker(cores: int) -> None:
     results = crawl.run(None, rounds=1)
     wall = time.perf_counter() - t0
 
+    # SCALING_REVISIT=1: after the crawl round, one CONDITIONAL revisit
+    # sweep over the full span history (everything due at round 1000).
+    # The deterministic web means every refetch revalidates unchanged —
+    # the sweep must commit ZERO span rows and one observation row per
+    # refetched page, identically at every core count.
+    revisit_block = None
+    if os.environ.get("SCALING_REVISIT") == "1":
+        from swmaestro_crawler_spark.plans.revisit import run_revisit
+        from swmaestro_crawler_spark.schema import OBSERVATIONS
+
+        spans_before = crawl.cat.logical_digest("spans")
+        t1 = time.perf_counter()
+        res = run_revisit(spark, crawl.cat, cfg, now_round=1000, conditional=True)
+        rv_wall = time.perf_counter() - t1
+        obs_dig = (
+            crawl.cat.read("observations", OBSERVATIONS)
+            .agg(
+                F.sum(
+                    F.xxhash64("doc_id", "host", "round", "content_fp").cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        revisit_block = {
+            "wall_s": round(rv_wall, 3),
+            "stages": res.get("timings", {}),
+            "refetched_ok": res["refetched_ok"],
+            "modified": res["modified"],
+            "not_modified": res["not_modified"],
+            "revisits_per_sec": round(res["refetched_ok"] / rv_wall, 1),
+            "observations_digest": [str(obs_dig.h), int(obs_dig.n)],
+            "spans_digest_unchanged": crawl.cat.logical_digest("spans")
+            == spans_before,
+        }
+
     r = results[0]
     stages = {k: round(v, 3) for k, v in (r.timings or {}).items()}
     processed = r.admitted + r.excluded + r.deferred
@@ -217,6 +255,7 @@ def worker(cores: int) -> None:
                 "stages": stages,
                 "crawl_order_digest": [str(order_dig.h), int(order_dig.n)],
                 "seen_digest": [str(seen_dig.h), int(seen_dig.n)],
+                **({"revisit": revisit_block} if revisit_block else {}),
             }
         ),
         flush=True,
@@ -500,6 +539,83 @@ def run_redirect_check(levels=(2, 8)) -> dict:
     return block
 
 
+def run_revisit_check(levels=(2, 8)) -> dict:
+    """Conditional revalidation at frontier scale: crawl one steady-state
+    round, then a conditional revisit sweep over the full span history at
+    N and 4N cores. The deterministic web means every refetch
+    revalidates UNCHANGED, so the sweep must commit zero span rows
+    (logical digest pinned) and exactly one observation row per
+    refetched page — identically across core counts. Merges a
+    ``revisit_check`` block into BENCH/scaling.json."""
+    results, all_walls = {}, {}
+    for cores in levels:
+        runs = []
+        for i in range(REPEATS):
+            print(
+                f"== revisit run local[{cores}] over {N_URLS:,} URLs "
+                f"(run {i + 1}/{REPEATS}) ==",
+                flush=True,
+            )
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env=dict(os.environ, SCALING_REVISIT="1"),
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")), None
+            )
+            if line is None:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+                raise SystemExit(f"revisit worker local[{cores}] failed")
+            runs.append(json.loads(line[len("WORKER_RESULT "):]))
+            print(json.dumps(runs[-1]), flush=True)
+        for r in runs:
+            if r["revisit"]["modified"] != 0 or not r["revisit"]["spans_digest_unchanged"]:
+                raise SystemExit(
+                    f"revalidation stored spans on an unchanged web at local[{cores}]"
+                )
+        if len({tuple(r["revisit"]["observations_digest"]) for r in runs}) != 1:
+            raise SystemExit(f"nondeterministic observations at local[{cores}]")
+        results[cores] = min(runs, key=lambda r: r["revisit"]["wall_s"])
+        all_walls[cores] = [r["revisit"]["wall_s"] for r in runs]
+    a, b = levels
+    eff = round(
+        (results[b]["revisit"]["revisits_per_sec"] / results[a]["revisit"]["revisits_per_sec"])
+        / (b / a),
+        3,
+    )
+    block = {
+        "n_urls": N_URLS,
+        "levels": {str(c): results[c]["revisit"] for c in levels},
+        "all_walls": {str(c): all_walls[c] for c in levels},
+        "efficiency": {f"{a}->{b}": eff},
+        "digests_match_across_levels": (
+            results[a]["revisit"]["observations_digest"]
+            == results[b]["revisit"]["observations_digest"]
+        ),
+        "note": (
+            "SCALING_REVISIT=1: after the crawl round, run_revisit "
+            "conditional=True sweeps everything due. Deterministic web -> "
+            "every page revalidates unchanged: zero span rows committed "
+            "(logical digest pinned pre/post), one 4-column observation "
+            "row per refetched page, observation digests identical across "
+            "core counts and repeats."
+        ),
+    }
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    summary = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            summary = json.load(f)
+    summary["revisit_check"] = block
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(block, indent=1))
+    return block
+
+
 def _run_worker(cores: int) -> dict:
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
@@ -638,6 +754,7 @@ def main() -> None:
             "kill_resume_check",
             "host_probe",
             "redirect_digest_check",
+            "revisit_check",
         ):
             if k in prior:
                 summary[k] = prior[k]
@@ -928,6 +1045,40 @@ chain follower inside the fetch stage, cross-host targets recorded as
   seen).
 """
             )
+        rv = summary.get("revisit_check")
+        if rv:
+            lv = sorted(rv["levels"], key=int)
+            rv_pair, rv_eff = next(iter(rv["efficiency"].items()))
+            vrows = "\n".join(
+                f"| local[{c}] | {rv['levels'][c]['wall_s']} "
+                f"| {rv['levels'][c]['refetched_ok']:,} "
+                f"| {rv['levels'][c]['not_modified']:,} "
+                f"| {rv['levels'][c]['revisits_per_sec']:,} |"
+                for c in lv
+            )
+            f.write(
+                f"""
+## Conditional-revalidation check at frontier scale
+
+After the {rv['n_urls']:,}-URL crawl round, one `run_revisit
+conditional=True` sweep over the full span history (`SCALING_REVISIT=1`).
+The deterministic web means every refetch revalidates UNCHANGED — the
+engine's If-None-Match path must turn the whole sweep into 4-column
+observation rows. Best of {len(rv['all_walls'][lv[0]])} runs per level
+(all walls: {rv['all_walls']}):
+
+| level | revisit wall s | refetched | revalidated 304 | revisits/s |
+|---|---|---|---|---|
+{vrows}
+
+- **{rv_pair} cores: efficiency {rv_eff}**
+  ({"PASS" if rv_eff >= 0.8 else "below"} ≥0.8).
+- ZERO span rows committed at every level (spans logical digest pinned
+  pre/post); observation digests
+  {"IDENTICAL" if rv['digests_match_across_levels'] else "DIFFERENT (BUG)"}
+  across levels and repeats.
+"""
+            )
         hp = summary.get("host_probe")
         if hp:
             hrows = "\n".join(
@@ -974,6 +1125,8 @@ if __name__ == "__main__":
         run_score_check(table=True)
     elif len(sys.argv) > 1 and sys.argv[1] == "--redirect-check":
         run_redirect_check()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--revisit-check":
+        run_revisit_check()
     elif len(sys.argv) > 1 and sys.argv[1] == "--render":
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as fh:
             write_baseline_md(json.load(fh))
