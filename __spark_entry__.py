@@ -104,6 +104,7 @@ def _all_modules():
 # first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
+    "catalog_takedown",
     "dupspan_removal",
     "dedup_cluster_representatives",
     "adaptive_backoff_factors",

@@ -638,6 +638,119 @@ class Catalog:
 
         return self._locked_commit(table, mutate)
 
+    def delete_where(
+        self,
+        table: str,
+        schema: StructType,
+        condition: str,
+        key: str | None = None,
+        key_values: list | None = None,
+        stat_cols: list[str] | None = None,
+    ) -> int:
+        """Copy-on-write DELETE: rows where ``condition`` evaluates TRUE
+        are removed; FALSE/NULL rows survive (ANSI DELETE semantics) —
+        the takedown / right-to-be-forgotten operation a training corpus
+        needs (remove every document from a host, purge a doc_id list)
+        that the reference can only express as per-row SQL DELETEs
+        (New_YouTube_Crawler.py's psycopg2 loop shape).
+
+        Scale design mirrors :meth:`merge`: when the caller names the
+        equality ``key`` + ``key_values`` the predicate targets, only
+        data files whose manifest stats/bloom CANNOT rule those values
+        out are rewritten (``old.filter(NOT coalesce(condition, false))``
+        — one distributed scan of the touched files, no join); every
+        other file carries into the new snapshot BY NAME, untouched.
+        At 100 TB a single-host takedown rewrites the few files whose
+        (min, max) straddle that host, not the table. Files without
+        recorded stats are always rewritten (pruning only skips files
+        PROVEN untouched). Without key/key_values every file is
+        rewritten (correct, just unpruned). Old files stay readable for
+        time travel until expire+vacuum.
+
+        Concurrency: read-dependent like merge — raises
+        :class:`CommitConflict` if another writer commits between plan
+        and commit; the caller re-plans."""
+        from bisect import bisect_left
+
+        from pyspark.sql import functions as F
+
+        from .functions.hashing import bloom_positions_py
+
+        m = self._load_manifest(table)
+        stats = m.get("file_stats", {})
+        blooms = m.get("file_blooms", {})
+        base_sid = m["current"]
+        cur = [s for s in m["snapshots"] if s["id"] == base_sid][0]
+
+        def may_touch(f: str) -> bool:
+            if key is None or not key_values:
+                return True
+            s = stats.get(f, {}).get(key)
+            if s is not None:
+                vals = sorted(key_values)
+                i = bisect_left(vals, s[0])
+                if not (i < len(vals) and vals[i] <= s[1]):
+                    return False
+            b = blooms.get(f, {}).get(key)
+            if b is not None and all(isinstance(v, int) for v in key_values):
+                buf = bytes.fromhex(b["hex"])
+                if all(
+                    any(
+                        not (buf[p >> 3] >> (p & 7)) & 1
+                        for p in bloom_positions_py(int(v), b["k"], b["bits"])
+                    )
+                    for v in key_values
+                ):
+                    return False
+            return True
+
+        touched = [f for f in cur["files"] if may_touch(f)]
+        kept = [f for f in cur["files"] if f not in set(touched)]
+
+        files: list[str] = []
+        file_rows: list[int] = []
+        rows_before = 0
+        if touched:
+            paths = [os.path.join(self._dir(table), f) for f in touched]
+            import pyarrow.parquet as pq
+
+            rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+            survivors = self.spark.read.schema(schema).parquet(*paths).filter(
+                ~F.coalesce(F.expr(condition), F.lit(False))
+            )
+            files, file_rows = self._write_files(table, survivors)
+        stats_d = self._compute_stats(table, files, stat_cols)
+        n_deleted = rows_before - sum(file_rows)
+
+        def mutate(m: dict) -> int:
+            if m["current"] != base_sid:
+                raise CommitConflict(
+                    f"delete planned against {table}@{base_sid} but current "
+                    f"is {m['current']} — re-plan against the new snapshot"
+                )
+            self._merge_file_meta(m, stats_d, {})
+            sid = self._next_sid(m)
+            m["snapshots"].append(
+                {
+                    "id": sid,
+                    "parent": base_sid,
+                    "files": kept + files,
+                    "meta": {
+                        "op": "delete",
+                        "condition": condition,
+                        "rows_deleted": n_deleted,
+                        "files_rewritten": len(touched),
+                        "files_kept": len(kept),
+                        "rows_delta": sum(file_rows),
+                        "file_rows": file_rows,
+                    },
+                }
+            )
+            m["current"] = sid
+            return sid
+
+        return self._locked_commit(table, mutate)
+
     def rows_delta(self, table: str, snapshot: int) -> int:
         """PHYSICAL rows written by snapshot ``snapshot`` (from footer
         stats). For zero-copy tables with a ``row_filter`` prop this is

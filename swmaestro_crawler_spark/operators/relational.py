@@ -788,6 +788,82 @@ FROM orders o JOIN k USING (o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus takedown — catalog copy-on-write DELETE (catalog.Catalog.delete_where).
+# The training-corpus operation the reference expresses as per-row SQL
+# DELETEs (psycopg2 loop shape): purge every document from a host
+# (right-to-be-forgotten / robots retro-compliance), then purge an explicit
+# doc_id list (DMCA notice). At 100 TB only the files whose manifest stats
+# intersect the predicate are rewritten; tests/test_catalog_delete.py pins
+# the untouched-files-carry-by-name property.
+# ---------------------------------------------------------------------------
+def q_catalog_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COW deletes against a documents catalog table: (1) every doc
+    from the lexicographically smallest source — source-range-partitioned
+    layout, so file min/max stats prune the rewrite to the files holding
+    that host; (2) an explicit doc_id list (keys ≡3 mod 997) —
+    bloom-prunable point deletes. Returns the surviving table."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..catalog import Catalog
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="takedown_wh_"))
+    cat.append(
+        "docs_t",
+        docs.repartitionByRange(8, "source", "doc_id"),
+        stat_cols=["source", "doc_id"],
+        bloom_cols=["doc_id"],
+    )
+    target = docs.agg(F.min("source")).collect()[0][0]
+    cat.delete_where(
+        "docs_t",
+        schema,
+        f"source = '{target}'",
+        key="source",
+        key_values=[target],
+        stat_cols=["source", "doc_id"],
+    )
+    ids = sorted(
+        r[0] for r in docs.filter(F.col("doc_id") % 997 == 3).select("doc_id").collect()
+    )
+    if ids:
+        cat.delete_where(
+            "docs_t",
+            schema,
+            "doc_id IN (" + ", ".join(str(i) for i in ids) + ")",
+            key="doc_id",
+            key_values=ids,
+            stat_cols=["source", "doc_id"],
+        )
+    return cat.read("docs_t", schema)
+
+
+SQL_CATALOG_TAKEDOWN = """
+SELECT doc_id, source, lang, n_chars
+FROM documents
+WHERE source <> (SELECT min(source) FROM documents)
+  AND doc_id % 997 <> 3
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -815,4 +891,5 @@ QUERIES = {
     "range_join_time_band": (q_range_join_time_band, SQL_RANGE_JOIN_TIME_BAND),
     "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),
     "catalog_point_lookup": (q_catalog_point_lookup, SQL_CATALOG_POINT_LOOKUP),
+    "catalog_takedown": (q_catalog_takedown, SQL_CATALOG_TAKEDOWN),
 }
