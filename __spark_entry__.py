@@ -105,6 +105,7 @@ def _all_modules():
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
     "catalog_takedown",
+    "boilerplate_removal",
     "dupspan_removal",
     "dedup_cluster_representatives",
     "adaptive_backoff_factors",

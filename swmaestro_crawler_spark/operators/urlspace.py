@@ -238,7 +238,125 @@ GROUP BY w.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate REMOVAL: the surgery q_boilerplate_ngrams only scores.
+# Every word covered by a template window (per-source document frequency
+# >= the detection thresholds) is cut from EVERY document — unlike
+# duplicate-span removal there is no keeper: template text is navigation
+# junk wherever it appears (the trafilatura/jusText removal shape, done
+# set-theoretically at corpus scale instead of per-page DOM heuristics).
+# ---------------------------------------------------------------------------
+
+
+def _doc_windows_pos(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, pos, gh): position-preserving BP_N-gram windows
+    — the same zero-shuffle codegen projection as ``_doc_windows`` with
+    the word position kept so covered words can be cut."""
+    docs = docs.withColumn("ws", words(F.col("text"))).filter(F.size("ws") >= BP_N)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("ws")) - BP_N),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("ws"), (i + j + 1).cast("int")) for j in range(BP_N)],
+        ),
+    )
+    return docs.select(
+        "doc_id", "source", F.posexplode(grams).alias("pos", "g")
+    ).select("doc_id", "source", "pos", word_hash(F.col("g")).alias("gh"))
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut every per-source template BP_N-gram from the corpus; emits
+    (doc_id, n_words, n_removed_words, cleaned_text).
+
+    Scale shape: windows and the boilerplate set are the detection
+    query's plans (text never shuffles — only (source, gh, pos) integer
+    tuples); covered positions explode ×BP_N over TEMPLATE windows only
+    (bounded by template density, not corpus size); the cut itself is
+    ``curation.remove_spans``'s codegen indexed array filter — corpus
+    text crosses exactly one join, keyed on doc_id."""
+    from .curation import remove_spans
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    w = _doc_windows_pos(d)
+    n_docs = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_tbl = (
+        w.select("source", "gh", "doc_id")
+        .distinct()
+        .groupBy("source", "gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = (
+        df_tbl.join(F.broadcast(n_docs), "source")
+        .filter(
+            (F.col("df") * 1000 >= F.lit(BP_PERMILLE) * F.col("n_docs"))
+            & (F.col("df") >= BP_MIN_DF)
+        )
+        .select("source", "gh")
+    )
+    covered = (
+        w.join(boiler, ["source", "gh"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(BP_N - 1))
+            ).alias("q"),
+        )
+        .distinct()
+    )
+    return remove_spans(d.select("doc_id", "text"), covered)
+
+
+_SQL_BP_WINDOWS_POS = f"""
+  SELECT doc_id, source, CAST(x.pos AS INT) AS pos,
+         {SQL_WORD_HASH.format(c='x.g')} AS gh
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(generate_series(1, len(ws) - {BP_N - 1}),
+                                 i -> {{'pos': i - 1, 'g': ws[i] || ' ' || ws[i + 1]}})) AS x
+    FROM (SELECT doc_id, source, {SQL_WORDS.format(c='text')} AS ws FROM documents)
+    WHERE len(ws) >= {BP_N})"""
+
+SQL_BOILERPLATE_REMOVAL = f"""
+WITH w AS ({_SQL_BP_WINDOWS_POS}),
+n_docs AS (
+  SELECT source, count(DISTINCT doc_id) AS n_docs FROM documents GROUP BY source),
+df_tbl AS (
+  SELECT source, gh, count(DISTINCT doc_id) AS df FROM w GROUP BY source, gh),
+boiler AS (
+  SELECT source, gh
+  FROM df_tbl JOIN n_docs USING (source)
+  WHERE df * 1000 >= {BP_PERMILLE} * n_docs AND df >= {BP_MIN_DF}),
+cov AS (
+  SELECT DISTINCT w.doc_id, w.pos + j.j AS q
+  FROM w JOIN boiler USING (source, gh), generate_series(0, {BP_N - 1}) AS j(j)),
+d AS (SELECT doc_id, {SQL_WORDS.format(c='text')} AS ws FROM documents),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws)),
+                i -> {{'q': i - 1, 'w': ws[i]}})) AS x
+  FROM d),
+keptagg AS (
+  SELECT t.doc_id, string_agg(t.x.w, ' ' ORDER BY t.x.q) AS cleaned_text
+  FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.q = t.x.q)
+  GROUP BY t.doc_id),
+remn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_words
+  FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(d.ws) AS BIGINT) AS n_words,
+       coalesce(remn.n_removed_words, 0) AS n_removed_words,
+       coalesce(keptagg.cleaned_text, '') AS cleaned_text
+FROM d
+LEFT JOIN remn USING (doc_id)
+LEFT JOIN keptagg USING (doc_id)
+"""
+
+
 QUERIES = {
     "url_trap_templates": (q_url_trap_templates, SQL_URL_TRAP_TEMPLATES),
     "boilerplate_ngrams": (q_boilerplate_ngrams, SQL_BOILERPLATE_NGRAMS),
+    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE_REMOVAL),
 }
