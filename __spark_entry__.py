@@ -65,6 +65,7 @@ def _all_modules():
         relational,
         scheduling,
         scoretable,
+        search,
         similarity,
         sketches,
         text_analysis,
@@ -83,6 +84,7 @@ def _all_modules():
         dedup,
         graph,
         scoretable,
+        search,
         text_analysis,
         curation,
         similarity,
@@ -104,6 +106,10 @@ def _all_modules():
 # first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
+    "bm25_topk",
+    "inverted_index_postings",
+    "hits_purchase_graph",
+    "table_profile",
     "catalog_takedown",
     "boilerplate_removal",
     "dupspan_removal",

@@ -49,11 +49,12 @@ PR_BASE = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // PR_DAMP_DEN  # (1-d)·SCALE
 PR_ITERS = 6
 
 
-def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetrized distinct customer<->supplier edges as (src, dst)."""
+def purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed distinct customer->supplier edges as (src, dst); node ids
+    disjoint (customers 2k, suppliers 2k+1)."""
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).cast("long").alias("src"),
@@ -61,6 +62,11 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized distinct customer<->supplier edges as (src, dst)."""
+    pairs = purchase_pairs(spark, sf_dir)
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -208,6 +214,134 @@ FROM {prev}
 SQL_PAGERANK_PURCHASE = _sql_pagerank_purchase()
 
 
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) hubs & authorities — the complementary importance
+# score to PageRank for a crawl frontier: a hub page's value is the
+# authorities it links to, an authority's the hubs that link to it. On
+# the directed bipartite purchase graph (customers -> suppliers) hubs are
+# customers and authorities suppliers. Same Pregel shape as pagerank:
+# the edge table is persisted once and never re-shuffled; each half-step
+# is one hash join (scores onto edges) + one groupBy partial-sum, and the
+# only thing that moves between supersteps is the node-sized score
+# vector. All arithmetic is int64 fixed-point with L1 normalization to
+# HITS_SCALE after every half-step via integer floor division, so the
+# DuckDB oracle replays the iterations bit-identically as unrolled CTEs.
+# Invariant: after normalization every score <= HITS_SCALE (raw <= tot),
+# so raw <= HITS_SCALE at the next half-step and raw*HITS_SCALE <= 1e18
+# stays int64-safe; the initial hub vector is pre-normalized
+# (HITS_SCALE div n_hubs) for the same reason.
+# ---------------------------------------------------------------------------
+HITS_SCALE = 1_000_000_000
+HITS_ITERS = 4
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> tuple[DataFrame, DataFrame]:
+    """``iters`` rounds of mutual reinforcement a = A^T h, h = A a over a
+    directed edge list (src = hub side, dst = authority side); returns
+    (hubs, auths) as (node, score) in HITS_SCALE L1 fixed-point units."""
+    edges = edges.persist()
+    n_hubs = edges.select("src").distinct().agg(
+        F.count(F.lit(1)).alias("n_hubs")
+    )
+    hubs = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .crossJoin(F.broadcast(n_hubs))
+        .select("node", F.expr(f"{HITS_SCALE} div n_hubs").alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    auths = None
+
+    def _half(scores: DataFrame, key_from: str, key_to: str) -> DataFrame:
+        raw = (
+            edges.join(scores, edges[key_from] == scores.node)
+            .groupBy(key_to)
+            .agg(F.sum("score").alias("raw"))
+            # raw is referenced twice below (tot + the normalize), so cut
+            # lineage here — the vector is node-sized, the checkpoint tiny
+            .localCheckpoint(eager=True)
+        )
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        return raw.crossJoin(F.broadcast(tot)).select(
+            F.col(key_to).alias("node"),
+            F.expr(f"(raw * {HITS_SCALE}) div tot").alias("score"),
+        )
+
+    for _ in range(iters):
+        auths = _half(hubs, "src", "dst")
+        hubs = _half(auths, "dst", "src")
+    edges.unpersist()
+    return hubs, auths
+
+
+def q_hits_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: HITS over the directed customer->supplier purchase
+    graph; one row per (node, role) with the original key decoded."""
+    hubs, auths = hits(purchase_pairs(spark, sf_dir))
+    out = hubs.select(
+        F.col("node").alias("node_id"), F.lit("hub").alias("role"), "score"
+    ).unionByName(
+        auths.select(
+            F.col("node").alias("node_id"), F.lit("auth").alias("role"), "score"
+        )
+    )
+    return out.select(
+        "node_id", "role", F.expr("node_id div 2").alias("key"), "score"
+    )
+
+
+def _sql_hits_purchase() -> str:
+    """Unrolled half-steps, every CTE MATERIALIZED (each is referenced
+    twice: by the raw aggregate and the normalizing total) — the SQL
+    mirror of the Spark side's per-half-step localCheckpoint."""
+    steps = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(HITS_ITERS):
+        ar, a = f"ar{i + 1}", f"a{i + 1}"
+        hr, h = f"hr{i + 1}", f"h{i + 1}"
+        steps.append(
+            f"""{ar} AS MATERIALIZED (
+  SELECT e.dst, SUM(s.score) AS raw
+  FROM pairs e JOIN {prev_h} s ON s.node = e.src GROUP BY e.dst),
+{a} AS MATERIALIZED (
+  SELECT dst AS node,
+         CAST(raw * {HITS_SCALE} // (SELECT SUM(raw) FROM {ar}) AS BIGINT)
+           AS score
+  FROM {ar}),
+{hr} AS MATERIALIZED (
+  SELECT e.src, SUM(s.score) AS raw
+  FROM pairs e JOIN {a} s ON s.node = e.dst GROUP BY e.src),
+{h} AS MATERIALIZED (
+  SELECT src AS node,
+         CAST(raw * {HITS_SCALE} // (SELECT SUM(raw) FROM {hr}) AS BIGINT)
+           AS score
+  FROM {hr})"""
+        )
+        prev_h, prev_a = h, a
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS src,
+                  CAST(l.l_suppkey * 2 + 1 AS BIGINT) AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+h0 AS MATERIALIZED (
+  SELECT src AS node,
+         CAST({HITS_SCALE} // (SELECT COUNT(DISTINCT src) FROM pairs)
+              AS BIGINT) AS score
+  FROM (SELECT DISTINCT src FROM pairs)),
+{chain}
+SELECT node AS node_id, role, node // 2 AS key, score FROM (
+  SELECT node, 'hub' AS role, score FROM {prev_h}
+  UNION ALL
+  SELECT node, 'auth' AS role, score FROM {prev_a})
+"""
+
+
+SQL_HITS_PURCHASE = _sql_hits_purchase()
+
+
 QUERIES = {
     "pagerank_purchase_graph": (q_pagerank_purchase, SQL_PAGERANK_PURCHASE),
+    "hits_purchase_graph": (q_hits_purchase, SQL_HITS_PURCHASE),
 }

@@ -864,6 +864,84 @@ WHERE source <> (SELECT min(source) FROM documents)
 """
 
 
+# ---------------------------------------------------------------------------
+# Table profiling: per-column (rows, nulls, exact distinct, min, max) in
+# one pass over the table — the stats-collection primitive behind query
+# planning (ANALYZE TABLE), data-quality monitoring, and schema-drift
+# alerts on a standing crawl corpus. One wide aggregate (Spark expands
+# the multi-column exact countDistinct internally) then an unpivot via
+# stack(); no per-column re-scan. At 100 TB the exact countDistinct is
+# the disclosed luxury — the scale path swaps approx_count_distinct /
+# the HLL sketch (operators/sketches.py) per column, same single-pass
+# shape. min/max render engine-portably: ints as decimal strings,
+# doubles as floor(x*100) cents (identical IEEE doubles floor the same
+# in both engines — no printf formatting dependence), timestamps via an
+# explicit strftime pattern.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_fmt_spark(c: str, kind: str, agg: str):
+    x = getattr(F, agg)(F.col(c))
+    if kind == "int":
+        return x.cast("string")
+    if kind == "num":
+        return F.floor(x * 100).cast("long").cast("string")
+    if kind == "ts":
+        return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+    return x
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            _profile_fmt_spark(c, kind, "min").alias(f"{c}__min"),
+            _profile_fmt_spark(c, kind, "max").alias(f"{c}__max"),
+        ]
+    row = o.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c, _ in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (column_name, n_nulls, n_distinct, min_s, max_s)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_s", "max_s")
+
+
+def _profile_fmt_duck(c: str, kind: str, agg: str) -> str:
+    if kind == "int":
+        return f"CAST({agg}({c}) AS VARCHAR)"
+    if kind == "num":
+        return f"CAST(CAST(floor({agg}({c}) * 100) AS BIGINT) AS VARCHAR)"
+    if kind == "ts":
+        return f"strftime({agg}({c}), '%Y-%m-%d %H:%M:%S')"
+    return f"{agg}({c})"
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {_profile_fmt_duck(c, kind, 'min')} AS min_s,
+       {_profile_fmt_duck(c, kind, 'max')} AS max_s
+FROM orders"""
+    for c, kind in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -892,4 +970,5 @@ QUERIES = {
     "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),
     "catalog_point_lookup": (q_catalog_point_lookup, SQL_CATALOG_POINT_LOOKUP),
     "catalog_takedown": (q_catalog_takedown, SQL_CATALOG_TAKEDOWN),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }
