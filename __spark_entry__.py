@@ -110,6 +110,8 @@ _NEVER_CHECKED_FIRST = (
     "inverted_index_postings",
     "hits_purchase_graph",
     "table_profile",
+    "catalog_time_travel",
+    "catalog_incremental_read",
     "catalog_takedown",
     "boilerplate_removal",
     "dupspan_removal",

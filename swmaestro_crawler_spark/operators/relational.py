@@ -865,6 +865,77 @@ WHERE source <> (SELECT min(source) FROM documents)
 
 
 # ---------------------------------------------------------------------------
+# Time travel + CDC/incremental read — the two snapshot-consumer faces of
+# the catalog as driver-checked contract queries. Both build a 3-batch
+# append history (doc_id mod 3 splits the documents table), then a COW
+# delete on top; the time-travel read targets the pre-delete snapshot
+# (reads must see deleted rows again), the incremental read returns only
+# snapshot 2's added files (the Iceberg changelog shape a downstream
+# trainer tails instead of rescanning the corpus). Nothing here rescans:
+# time travel is a plain file-list read of an older manifest entry;
+# read_delta scans only the delta files (file-pruning is structural, not
+# statistical). tests/test_catalog*.py pin the mechanics; these queries
+# make them driver-visible.
+# ---------------------------------------------------------------------------
+def _batched_docs_catalog(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..catalog import Catalog
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="ttcdc_wh_"))
+    for k in range(3):
+        cat.append(
+            "docs_h",
+            docs.filter(F.col("doc_id") % 3 == k).repartition(4, "doc_id"),
+            stat_cols=["doc_id"],
+        )
+    return cat, schema
+
+
+def q_catalog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF read: after 3 appends (snapshots 0,1,2) and a COW delete of
+    doc_id%7==0 (snapshot 3), read snapshot 1 (first two batches,
+    pre-delete) — deleted rows must reappear, batch 3 must not exist
+    yet."""
+    cat, schema = _batched_docs_catalog(spark, sf_dir)
+    cat.delete_where(
+        "docs_h", schema, "doc_id % 7 = 0", stat_cols=["doc_id"]
+    )
+    return cat.read("docs_h", schema, snapshot=1)
+
+
+SQL_CATALOG_TIME_TRAVEL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id % 3 IN (0, 1)
+"""
+
+
+def q_catalog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read: only the rows snapshot 2 APPENDED (the third
+    batch, doc_id%3 == 2), scanning only that snapshot's added files."""
+    cat, schema = _batched_docs_catalog(spark, sf_dir)
+    return cat.read_delta("docs_h", schema, snapshot=2)
+
+
+SQL_CATALOG_INCREMENTAL_READ = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Table profiling: per-column (rows, nulls, exact distinct, min, max) in
 # one pass over the table — the stats-collection primitive behind query
 # planning (ANALYZE TABLE), data-quality monitoring, and schema-drift
@@ -970,5 +1041,10 @@ QUERIES = {
     "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),
     "catalog_point_lookup": (q_catalog_point_lookup, SQL_CATALOG_POINT_LOOKUP),
     "catalog_takedown": (q_catalog_takedown, SQL_CATALOG_TAKEDOWN),
+    "catalog_time_travel": (q_catalog_time_travel, SQL_CATALOG_TIME_TRAVEL),
+    "catalog_incremental_read": (
+        q_catalog_incremental_read,
+        SQL_CATALOG_INCREMENTAL_READ,
+    ),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }
