@@ -106,6 +106,7 @@ def _all_modules():
 # first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
+    "catalog_schema_evolution",
     "bm25_topk",
     "inverted_index_postings",
     "hits_purchase_graph",

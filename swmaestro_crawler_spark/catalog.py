@@ -249,6 +249,7 @@ class Catalog:
         blooms_d = self._compute_blooms(table, files, bloom_cols)
 
         def mutate(m: dict) -> int:
+            self._stamp_files(m, files)
             self._merge_file_meta(m, stats_d, blooms_d)
             sid = self._next_sid(m)
             m["snapshots"].append(
@@ -353,10 +354,13 @@ class Catalog:
         snaps = [s for s in m["snapshots"] if s["id"] == sid]
         keep = []
         for f in snaps[0]["files"] if snaps else []:
-            s = stats.get(f, {}).get(col)
+            name = self._stat_name(m, f, col)
+            if name is None:
+                continue  # field postdates file -> only NULLs -> no match
+            s = stats.get(f, {}).get(name)
             if s is not None and not (s[0] <= value <= s[1]):
                 continue
-            b = blooms.get(f, {}).get(col)
+            b = blooms.get(f, {}).get(name)
             if b is not None:
                 buf = bytes.fromhex(b["hex"])
                 if any(
@@ -383,11 +387,13 @@ class Catalog:
         paths = self.prune_files_point(table, col, value, snapshot)
         if not paths:
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.schema(schema)
-            .parquet(*paths)
-            .filter(F.col(col) == value)
-        )
+        m = self._load_manifest(table)
+        if m.get("schema") is not None:
+            rel = [os.path.relpath(p, self._dir(table)) for p in paths]
+            df = self._read_files_evolved(table, m, rel, schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        return df.filter(F.col(col) == value)
 
     def append(
         self,
@@ -411,11 +417,14 @@ class Catalog:
         outside the commit lock; the manifest entry rebases onto whatever
         the target ref points at by commit time, so concurrent appends to
         one table all land (tests/test_concurrent_commits.py)."""
+        cols_written = list(df.columns)
         files, file_rows = self._write_files(table, df)
         stats_d = self._compute_stats(table, files, stat_cols)
         blooms_d = self._compute_blooms(table, files, bloom_cols)
 
         def mutate(m: dict) -> int:
+            self._check_write_columns(m, table, cols_written)
+            self._stamp_files(m, files)
             self._merge_file_meta(m, stats_d, blooms_d)
             base_sid = self._base_sid(m, branch)
             prev = [s for s in m["snapshots"] if s["id"] == base_sid]
@@ -471,6 +480,8 @@ class Catalog:
         pq.write_table(tbl, os.path.join(data_dir, name))
 
         def mutate(m: dict) -> int:
+            self._check_write_columns(m, table, [f.name for f in schema.fields])
+            self._stamp_files(m, [os.path.join("data", name)])
             prev = [s for s in m["snapshots"] if s["id"] == m["current"]]
             base = prev[0]["files"] if prev else []
             sid = self._next_sid(m)
@@ -497,11 +508,14 @@ class Catalog:
     ) -> int:
         """Replace table contents as a new snapshot (old files retained for
         time travel / resume)."""
+        cols_written = list(df.columns)
         files, file_rows = self._write_files(table, df)
         stats_d = self._compute_stats(table, files, stat_cols)
         blooms_d = self._compute_blooms(table, files, bloom_cols)
 
         def mutate(m: dict) -> int:
+            self._check_write_columns(m, table, cols_written)
+            self._stamp_files(m, files)
             self._merge_file_meta(m, stats_d, blooms_d)
             sid = self._next_sid(m)
             m["snapshots"].append(
@@ -590,13 +604,22 @@ class Catalog:
         cur = [s for s in m["snapshots"] if s["id"] == base_sid][0]
         touched, kept = [], []
         for f in cur["files"]:
-            s = stats.get(f, {}).get(key)
+            name = self._stat_name(m, f, key)
+            if name is None:
+                # key field postdates this file: only NULL keys inside,
+                # and update keys are non-null -> provably untouched
+                kept.append(f)
+                continue
+            s = stats.get(f, {}).get(name)
             (touched if s is None or touches(s[0], s[1]) else kept).append(f)
 
         if touched:
-            old = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self._dir(table), f) for f in touched]
-            )
+            if m.get("schema") is not None:
+                old = self._read_files_evolved(table, m, touched, schema)
+            else:
+                old = self.spark.read.schema(schema).parquet(
+                    *[os.path.join(self._dir(table), f) for f in touched]
+                )
             survivors = old.join(
                 F.broadcast(updates.select(key)) if n_keys <= key_probe_limit
                 else updates.select(key),
@@ -615,6 +638,8 @@ class Catalog:
                     f"merge planned against {table}@{base_sid} but current "
                     f"is {m['current']} — re-plan against the new snapshot"
                 )
+            self._check_write_columns(m, table, list(updates.columns))
+            self._stamp_files(m, files)
             self._merge_file_meta(m, stats_d, {})
             sid = self._next_sid(m)
             m["snapshots"].append(
@@ -685,13 +710,19 @@ class Catalog:
         def may_touch(f: str) -> bool:
             if key is None or not key_values:
                 return True
-            s = stats.get(f, {}).get(key)
+            kname = self._stat_name(m, f, key)
+            if kname is None:
+                # key field postdates this file: all NULLs, and an
+                # equality/IN predicate over non-null values cannot
+                # evaluate TRUE -> the file provably survives intact
+                return False
+            s = stats.get(f, {}).get(kname)
             if s is not None:
                 vals = sorted(key_values)
                 i = bisect_left(vals, s[0])
                 if not (i < len(vals) and vals[i] <= s[1]):
                     return False
-            b = blooms.get(f, {}).get(key)
+            b = blooms.get(f, {}).get(kname)
             if b is not None and all(isinstance(v, int) for v in key_values):
                 buf = bytes.fromhex(b["hex"])
                 if all(
@@ -715,7 +746,11 @@ class Catalog:
             import pyarrow.parquet as pq
 
             rows_before = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
-            survivors = self.spark.read.schema(schema).parquet(*paths).filter(
+            if m.get("schema") is not None:
+                old = self._read_files_evolved(table, m, touched, schema)
+            else:
+                old = self.spark.read.schema(schema).parquet(*paths)
+            survivors = old.filter(
                 ~F.coalesce(F.expr(condition), F.lit(False))
             )
             files, file_rows = self._write_files(table, survivors)
@@ -728,6 +763,7 @@ class Catalog:
                     f"delete planned against {table}@{base_sid} but current "
                     f"is {m['current']} — re-plan against the new snapshot"
                 )
+            self._stamp_files(m, files)
             self._merge_file_meta(m, stats_d, {})
             sid = self._next_sid(m)
             m["snapshots"].append(
@@ -799,6 +835,12 @@ class Catalog:
         }
 
         def mutate(m: dict) -> int:
+            if m.get("schema") is not None:
+                raise ValueError(
+                    f"{table}: zero-copy append_files is unsupported on "
+                    "schema-evolved tables (field-id mapping and column_map "
+                    "props cannot compose)"
+                )
             props = m.get("props", {})
             if props and new_props and props != new_props:
                 raise ValueError(f"conflicting table props for {table}")
@@ -839,6 +881,9 @@ class Catalog:
         files = snaps[0]["files"] if snaps else []
         if not files:
             return self.spark.createDataFrame([], schema)
+        if m.get("schema") is not None:
+            # field-id registry: name-map each file by its write version
+            return self._read_files_evolved(table, m, files, schema)
         paths = [os.path.join(self._dir(table), f) for f in files]
         props = m.get("props", {})
         if not props:
@@ -899,6 +944,8 @@ class Catalog:
         files = [f for f in cur[0]["files"] if f not in prev_files]
         if not files:
             return self.spark.createDataFrame([], schema)
+        if m.get("schema") is not None:
+            return self._read_files_evolved(table, m, files, schema)
         paths = [os.path.join(self._dir(table), f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
@@ -1164,7 +1211,10 @@ class Catalog:
         snaps = [s for s in m["snapshots"] if s["id"] == sid]
         keep = []
         for f in snaps[0]["files"] if snaps else []:
-            s = stats.get(f, {}).get(col)
+            name = self._stat_name(m, f, col)
+            if name is None and (lo is not None or hi is not None):
+                continue  # field postdates file -> only NULLs -> no match
+            s = stats.get(f, {}).get(name) if name is not None else None
             if s is not None and (
                 (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
             ):
@@ -1192,12 +1242,243 @@ class Catalog:
         paths = self.prune_files(table, col, lo, hi, snapshot)
         if not paths:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*paths)
+        m = self._load_manifest(table)
+        if m.get("schema") is not None:
+            rel = [os.path.relpath(p, self._dir(table)) for p in paths]
+            df = self._read_files_evolved(table, m, rel, schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths)
         if lo is not None:
             df = df.filter(F.col(col) >= lo)
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
         return df
+
+    # -- schema evolution (field-id registry; the Iceberg schema-update
+    # shape). Implicit evolution (add a column by reading a wider schema,
+    # drop by projecting a narrower one) already works through ``read``'s
+    # caller-supplied StructType; the REGISTRY adds what name-based reads
+    # cannot express: RENAME without rewriting a byte, and re-adding a
+    # dropped column name without resurrecting the old values. Columns get
+    # stable integer field ids; every data file is stamped with the schema
+    # version it was written under; reads resolve a CURRENT name to a
+    # field id, then to the name that id had when each file was written.
+    # Opt-in: tables never touched by rename/add/drop_column behave
+    # exactly as before (no registry, no overhead). The reference's
+    # analogue is a hand-run ALTER TABLE on its Postgres store; here the
+    # change is a metadata-only commit over an immutable file log.
+    # Zero-copy prop tables (append_files) cannot evolve — their name
+    # mapping is the table-level column_map property.
+    def _evolve(self, table: str, change) -> int:
+        """Apply ``change(m, fields) -> fields`` as a metadata-only locked
+        commit; initializes the registry (version 0 = the current files'
+        footer schema) on first use. Returns the new schema version."""
+        def mutate(m: dict) -> int:
+            if m.get("props"):
+                raise ValueError(
+                    f"{table}: schema evolution is unsupported on zero-copy "
+                    "prop tables (their mapping is the column_map property)"
+                )
+            reg = m.get("schema")
+            if reg is None:
+                names = self._infer_current_names(table, m)
+                m["schema"] = reg = {"ver": 0, "next_id": len(names)}
+                m["schema_log"] = {
+                    "0": [{"id": i, "name": n} for i, n in enumerate(names)]
+                }
+                fs = m.setdefault("file_schema", {})
+                for s in m["snapshots"]:
+                    for f in s["files"]:
+                        fs.setdefault(f, 0)
+            fields = [dict(x) for x in self._ver_fields(m, reg["ver"])]
+            fields = change(m, fields)
+            reg["ver"] += 1
+            m["schema_log"][str(reg["ver"])] = fields
+            return reg["ver"]
+
+        return self._locked_commit(table, mutate)
+
+    def _infer_current_names(self, table: str, m: dict) -> list[str]:
+        import pyarrow.parquet as pq
+
+        cur = [s for s in m["snapshots"] if s["id"] == m["current"]]
+        files = cur[0]["files"] if cur else []
+        if not files:
+            raise ValueError(
+                f"{table}: cannot initialize schema tracking on an empty "
+                "table — append data first (version 0 is inferred from the "
+                "current files' footer schema)"
+            )
+        sch = pq.ParquetFile(
+            os.path.join(self._dir(table), files[0])
+        ).schema_arrow
+        return list(sch.names)
+
+    def rename_column(self, table: str, old: str, new: str) -> int:
+        """Rename a column WITHOUT rewriting data (field id is stable;
+        old files keep their bytes and are name-mapped at read). Returns
+        the new schema version."""
+        def change(m: dict, fields: list[dict]) -> list[dict]:
+            names = [f["name"] for f in fields]
+            if old not in names:
+                raise KeyError(f"{table}: no column {old!r} to rename")
+            if new in names:
+                raise ValueError(f"{table}: column {new!r} already exists")
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            return fields
+
+        return self._evolve(table, change)
+
+    def add_column(self, table: str, name: str) -> int:
+        """Add a column under a FRESH field id: pre-evolution files read
+        back NULL for it, and if ``name`` was dropped earlier the old
+        values do NOT resurrect (Iceberg add-after-drop semantics)."""
+        def change(m: dict, fields: list[dict]) -> list[dict]:
+            if name in [f["name"] for f in fields]:
+                raise ValueError(f"{table}: column {name!r} already exists")
+            fields.append({"id": m["schema"]["next_id"], "name": name})
+            m["schema"]["next_id"] += 1
+            return fields
+
+        return self._evolve(table, change)
+
+    def drop_column(self, table: str, name: str) -> int:
+        """Drop a column from the current schema (metadata-only; bytes in
+        old files stay for time travel but no current read resolves to
+        them)."""
+        def change(m: dict, fields: list[dict]) -> list[dict]:
+            out = [f for f in fields if f["name"] != name]
+            if len(out) == len(fields):
+                raise KeyError(f"{table}: no column {name!r} to drop")
+            return out
+
+        return self._evolve(table, change)
+
+    def schema_version(self, table: str) -> int | None:
+        """Current schema version, or None for never-evolved tables."""
+        reg = self._load_manifest(table).get("schema")
+        return None if reg is None else reg["ver"]
+
+    def current_columns(self, table: str) -> list[str] | None:
+        """Column names of the current schema version (None = untracked)."""
+        m = self._load_manifest(table)
+        reg = m.get("schema")
+        if reg is None:
+            return None
+        return [f["name"] for f in self._ver_fields(m, reg["ver"])]
+
+    @staticmethod
+    def _ver_fields(m: dict, ver: int) -> list[dict]:
+        return m["schema_log"][str(ver)]
+
+    @staticmethod
+    def _file_ver(m: dict, f: str) -> int:
+        return m.get("file_schema", {}).get(f, 0)
+
+    @staticmethod
+    def _stamp_files(m: dict, files: list[str]) -> None:
+        """Record (at commit time, under the lock) which schema version
+        newly-committed data files were written under."""
+        reg = m.get("schema")
+        if reg is not None and files:
+            fs = m.setdefault("file_schema", {})
+            for f in files:
+                fs[f] = reg["ver"]
+
+    @staticmethod
+    def _check_write_columns(m: dict, table: str, cols: list[str]) -> None:
+        """Registry tables reject writes whose column set is not exactly
+        the current schema — a silent name drift would stamp files with a
+        version whose names they don't carry. Raised inside the commit
+        lock, so a bad write never publishes (its staged files are
+        orphans until vacuum)."""
+        reg = m.get("schema")
+        if reg is None:
+            return
+        want = {f["name"] for f in Catalog._ver_fields(m, reg["ver"])}
+        if set(cols) != want:
+            raise ValueError(
+                f"{table}: write columns {sorted(cols)} != schema "
+                f"v{reg['ver']} columns {sorted(want)} — evolve the schema "
+                "first (rename_column/add_column/drop_column)"
+            )
+
+    def _stat_name(self, m: dict, f: str, col: str) -> str | None:
+        """The name CURRENT column ``col`` had when file ``f`` was
+        written (stats/blooms are recorded under write-time names).
+        None = the field did not exist then, so the file can only hold
+        NULLs for it — point/range predicates can skip it outright."""
+        reg = m.get("schema")
+        if reg is None:
+            return col
+        cur = {x["name"]: x["id"] for x in self._ver_fields(m, reg["ver"])}
+        fid = cur.get(col)
+        if fid is None:
+            return col
+        vmap = {
+            x["id"]: x["name"]
+            for x in self._ver_fields(m, self._file_ver(m, f))
+        }
+        return vmap.get(fid)
+
+    def _read_files_evolved(
+        self, table: str, m: dict, files: list[str], schema: StructType
+    ) -> DataFrame:
+        """Read a file list through the field-id registry: group files by
+        write-time schema version (a handful of groups, not per-file
+        plans), read each group under its own names with explicit schemas
+        (pushdown + pruning intact), alias back to CURRENT names, NULL-fill
+        fields younger than the file, and union. Requested names resolve
+        against the CURRENT version only."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import StructField, StructType as ST
+
+        reg = m["schema"]
+        cur = {f["name"]: f["id"] for f in self._ver_fields(m, reg["ver"])}
+        unknown = [f.name for f in schema.fields if f.name not in cur]
+        if unknown:
+            raise KeyError(
+                f"{table}: columns {unknown} are not in schema v{reg['ver']}"
+            )
+        groups: dict[int, list[str]] = {}
+        for f in files:
+            groups.setdefault(self._file_ver(m, f), []).append(f)
+        parts = []
+        for ver in sorted(groups):
+            vmap = {
+                f["id"]: f["name"] for f in self._ver_fields(m, ver)
+            }
+            present = [f for f in schema.fields if cur[f.name] in vmap]
+            paths = [os.path.join(self._dir(table), f) for f in groups[ver]]
+            if present:
+                read_schema = ST(
+                    [
+                        StructField(vmap[cur[f.name]], f.dataType, True)
+                        for f in present
+                    ]
+                )
+                df = self.spark.read.schema(read_schema).parquet(*paths)
+            else:
+                # no requested field existed at this version — keep the
+                # rows (all-NULL projection) via an inferred read
+                df = self.spark.read.parquet(*paths)
+            parts.append(
+                df.select(
+                    *[
+                        (
+                            F.col(vmap[cur[f.name]])
+                            if cur[f.name] in vmap
+                            else F.lit(None).cast(f.dataType)
+                        ).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            )
+        return reduce(DataFrame.union, parts)
 
     def rollback(self, table: str, snapshot: int) -> None:
         """Reset ``current`` to an earlier snapshot and discard later ones

@@ -1013,6 +1013,90 @@ FROM orders"""
 )
 
 
+# ---------------------------------------------------------------------------
+# Field-id schema evolution as a driver-checked contract query
+# (catalog.rename_column/add_column): a standing 100-TB corpus lives
+# through schema changes, and rewriting the table for a RENAME is not an
+# option. v0 batch lands under (okey, cents); the column is renamed to
+# total_cents and a channel column is added — both metadata-only commits
+# (zero bytes rewritten, pinned by tests/test_schema_registry.py); the v1
+# batch lands under the new schema. The mixed-version read resolves each
+# file's write-time names through stable field ids (old files' `cents`
+# bytes serve `total_cents`; their `channel` is NULL-filled), then one
+# aggregate proves values AND null-semantics exactly against an oracle
+# that replays the same union in plain SQL. Prices travel as floor-cents
+# BIGINT so the cross-engine sums compare exactly. The reference's only
+# schema-change story is a hand-run ALTER TABLE on its Postgres store.
+# ---------------------------------------------------------------------------
+def q_catalog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from ..catalog import Catalog
+
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="schemaevo_wh_"))
+    cat.append(
+        "orders_e",
+        o.filter(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").alias("okey"), cents.alias("cents")
+        ),
+        stat_cols=["okey"],
+    )
+    cat.rename_column("orders_e", "cents", "total_cents")
+    cat.add_column("orders_e", "channel")
+    cat.append(
+        "orders_e",
+        o.filter(F.col("o_orderkey") % 3 == 1).select(
+            F.col("o_orderkey").alias("okey"),
+            cents.alias("total_cents"),
+            F.when(F.col("o_orderkey") % 2 == 0, "web")
+            .otherwise("app")
+            .alias("channel"),
+        ),
+        stat_cols=["okey"],
+    )
+    schema = StructType(
+        [
+            StructField("okey", LongType()),
+            StructField("total_cents", LongType()),
+            StructField("channel", StringType()),
+        ]
+    )
+    return (
+        cat.read("orders_e", schema)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_cents").alias("sum_cents"),
+            F.sum("okey").alias("sum_okey"),
+        )
+    )
+
+
+SQL_CATALOG_SCHEMA_EVOLUTION = """
+WITH unified AS (
+    SELECT o_orderkey AS okey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT),
+           CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END
+    FROM orders WHERE o_orderkey % 3 = 1
+)
+SELECT channel,
+       count(*) AS n_orders,
+       sum(total_cents) AS sum_cents,
+       sum(okey) AS sum_okey
+FROM unified
+GROUP BY channel
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -1041,6 +1125,10 @@ QUERIES = {
     "catalog_merge_upsert": (q_catalog_merge_upsert, SQL_CATALOG_MERGE_UPSERT),
     "catalog_point_lookup": (q_catalog_point_lookup, SQL_CATALOG_POINT_LOOKUP),
     "catalog_takedown": (q_catalog_takedown, SQL_CATALOG_TAKEDOWN),
+    "catalog_schema_evolution": (
+        q_catalog_schema_evolution,
+        SQL_CATALOG_SCHEMA_EVOLUTION,
+    ),
     "catalog_time_travel": (q_catalog_time_travel, SQL_CATALOG_TIME_TRAVEL),
     "catalog_incremental_read": (
         q_catalog_incremental_read,
