@@ -107,6 +107,7 @@ def _all_modules():
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
     "catalog_schema_evolution",
+    "dsir_importance_topk",
     "bm25_topk",
     "inverted_index_postings",
     "hits_purchase_graph",

@@ -601,6 +601,111 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw
+# document by how target-like its hashed n-gram features are, then keep
+# the top-K. Features are unigrams+bigrams hashed into DSIR_BUCKETS via
+# the cross-engine md5-prefix hash; two add-1-smoothed bucket
+# distributions are fit — p_target over the target slice (here: the
+# lexicographically smallest source, standing in for the curated
+# domain) and p_raw over everything — and each document scores the
+# average per-feature likelihood ratio. The float log-ratio sum of the
+# paper is reduced to exact integer arithmetic (per-bucket smoothed
+# ratio in DSIR_SCALE-ths, summed weighted by the doc's bucket counts)
+# so DuckDB replays the selection bit-identically; int64 headroom bound:
+# (N_target+1) * (N_raw + B) * DSIR_SCALE < 2^63 (holds to ~10^7-token
+# slices; a production run at 100 TB swaps float logs — same plan shape).
+#
+# Scale shape: the occurrence stream shuffles only (doc_id, bucket)
+# int pairs; both distribution fits are map-side-combinable groupBys to
+# B<=4096 rows; the score table is BROADCAST back (the corpus never
+# re-shuffles for the join); the final weight is one groupBy(doc_id);
+# top-K is a TakeOrdered, never a global single-partition sort.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 10_000
+DSIR_TOPK = 200
+
+
+def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shared bigram window expression (same tokens as the LM scorer)
+    from .text_analysis import _bigrams
+
+    d = load(spark, sf_dir, "documents")
+    uni = d.select("doc_id", "source", F.explode(words(F.col("text"))).alias("g"))
+    bi = d.select(
+        "doc_id", "source", F.explode(_bigrams(words(F.col("text")))).alias("g")
+    )
+    feats = (
+        uni.unionByName(bi)
+        .withColumn("b", F.pmod(word_hash(F.col("g")), F.lit(DSIR_BUCKETS)))
+        .drop("g")
+    )
+    tgt = d.agg(F.min("source")).collect()[0][0]
+    per = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum((F.col("source") == tgt).cast("long")).alias("nt"),
+    )
+    per.persist()
+    tot = per.agg(F.sum("nr"), F.sum("nt")).collect()[0]  # 2 bounded scalars
+    n_raw, n_tgt = int(tot[0]), int(tot[1])
+    score = per.select(
+        "b",
+        F.expr(
+            f"((nt + 1) * {n_raw + DSIR_BUCKETS} * {DSIR_SCALE})"
+            f" div ((nr + 1) * {n_tgt + DSIR_BUCKETS})"
+        ).alias("s"),
+    )
+    docb = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cb"))
+    return (
+        docb.join(F.broadcast(score), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cb").alias("n_feats"),
+            F.sum(F.col("cb") * F.col("s")).alias("tw"),
+        )
+        .select("doc_id", "n_feats", F.expr("tw div n_feats").alias("avg_imp"))
+        .orderBy(F.col("avg_imp").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOPK)
+    )
+
+
+SQL_DSIR_TOPK = f"""
+WITH occ AS (
+  SELECT doc_id, source, w AS g
+  FROM (SELECT doc_id, source,
+               unnest({SQL_WORDS.format(c="text")}) AS w FROM documents)
+  UNION ALL
+  SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS g
+  FROM (SELECT doc_id, source, {SQL_WORDS.format(c="text")} AS ws
+        FROM documents),
+       UNNEST(range(1, len(ws))) AS t(i)
+),
+f AS (SELECT doc_id, source,
+             {SQL_WORD_HASH.format(c="g")} % {DSIR_BUCKETS} AS b FROM occ),
+per AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nr,
+         CAST(sum(CASE WHEN source = (SELECT min(source) FROM documents)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS nt
+  FROM f GROUP BY b),
+tot AS (SELECT CAST(sum(nr) AS BIGINT) AS n_raw,
+               CAST(sum(nt) AS BIGINT) AS n_tgt FROM per),
+sc AS (
+  SELECT b, ((nt + 1) * (SELECT n_raw + {DSIR_BUCKETS} FROM tot)
+             * {DSIR_SCALE})
+            // ((nr + 1) * (SELECT n_tgt + {DSIR_BUCKETS} FROM tot)) AS s
+  FROM per),
+docb AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS cb
+         FROM f GROUP BY doc_id, b),
+w AS (SELECT doc_id, CAST(sum(cb) AS BIGINT) AS n_feats,
+             CAST(sum(cb * s) AS BIGINT) AS tw
+      FROM docb JOIN sc USING (b) GROUP BY doc_id)
+SELECT doc_id, n_feats, tw // n_feats AS avg_imp
+FROM w ORDER BY avg_imp DESC, doc_id ASC LIMIT {DSIR_TOPK}
+"""
+
+
 QUERIES = {
     "decontam_benchmark_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "dupspan_ngram_windows": (q_dupspan, SQL_DUPSPAN),
@@ -610,4 +715,5 @@ QUERIES = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
+    "dsir_importance_topk": (q_dsir_topk, SQL_DSIR_TOPK),
 }
