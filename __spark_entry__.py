@@ -62,6 +62,7 @@ def _all_modules():
         kmeans,
         multimodal,
         packing,
+        pq,
         relational,
         scheduling,
         scoretable,
@@ -89,6 +90,7 @@ def _all_modules():
         curation,
         similarity,
         kmeans,
+        pq,
         sketches,
         urlspace,
         zorder,
@@ -108,6 +110,9 @@ def _all_modules():
 _NEVER_CHECKED_FIRST = (
     "catalog_schema_evolution",
     "dsir_importance_topk",
+    "pq_codes",
+    "pq_adc_topk",
+    "pq_adc_recall",
     "bm25_topk",
     "inverted_index_postings",
     "hits_purchase_graph",

@@ -148,7 +148,9 @@ def assign_to_expr(vecs: DataFrame, cent: list[tuple[int, list[int], int]]) -> D
     return vecs.withColumn("cluster", F.array_min(F.array(*structs))["cid"])
 
 
-def _update(assigned: DataFrame) -> list[tuple[int, list[int], int]]:
+def _update(
+    assigned: DataFrame, dim: int = CENTROID_DIM
+) -> list[tuple[int, list[int], int]]:
     """One Lloyd update: integer per-dim sums + counts per cluster.
     Map-side partial aggregation means only K*DIM rows shuffle; the
     driver receives K*(DIM+1) integers — bounded regardless of corpus
@@ -165,7 +167,7 @@ def _update(assigned: DataFrame) -> list[tuple[int, list[int], int]]:
         by_cid.setdefault(r.cluster, {})[r.dim] = r.s
         counts[r.cluster] = r.n
     return [
-        (cid, [by_cid[cid][d] for d in range(CENTROID_DIM)], counts[cid])
+        (cid, [by_cid[cid][d] for d in range(dim)], counts[cid])
         for cid in sorted(by_cid)
     ]
 
@@ -184,13 +186,17 @@ def seed_centroids(vecs: DataFrame, k: int = KMEANS_K) -> list[tuple[int, list[i
 
 
 def kmeans_fit(
-    vecs: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+    vecs: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = CENTROID_DIM,
 ) -> list[tuple[int, list[int], int]]:
     """``iters`` full Lloyd iterations (assign + update) from the hash
-    seeds; returns the final centroid list [(cid, cv, n)]."""
+    seeds; returns the final centroid list [(cid, cv, n)]. ``dim`` is
+    the vector width (subspace fits pass their slice width)."""
     cent = seed_centroids(vecs, k)
     for _ in range(iters):
-        cent = _update(assign_to(vecs, cent))
+        cent = _update(assign_to(vecs, cent), dim)
     return cent
 
 
