@@ -155,6 +155,46 @@ class Catalog:
 
         return self._locked_commit(table, mutate)
 
+    def tag(self, table: str, name: str, snapshot: int | None = None) -> int:
+        """Pin an IMMUTABLE named tag to a snapshot (default: current
+        main) — the Iceberg tag: "dataset release v1" pins the exact
+        corpus bytes a model trained on. Unlike a branch, a tag cannot
+        move (re-tagging an existing name raises) and the tagged
+        snapshot survives ``expire_snapshots`` until the tag is
+        dropped, so the release stays reproducible while the rest of
+        the history is garbage-collected."""
+
+        def mutate(m: dict) -> int:
+            tags = m.setdefault("tags", {})
+            if name in tags:
+                raise ValueError(
+                    f"{table}: tag {name!r} already pins snapshot "
+                    f"{tags[name]} — tags are immutable (drop_tag first)"
+                )
+            at = m["current"] if snapshot is None else snapshot
+            if not any(s["id"] == at for s in m["snapshots"]):
+                raise KeyError(f"{table}@{at}: no such snapshot to tag")
+            tags[name] = at
+            return at
+
+        return self._locked_commit(table, mutate)
+
+    def drop_tag(self, table: str, name: str) -> None:
+        """Release a tag (the snapshot becomes expirable again)."""
+
+        def mutate(m: dict) -> int:
+            m.get("tags", {}).pop(name, None)
+            return m["current"]
+
+        self._locked_commit(table, mutate)
+
+    def resolve_tag(self, table: str, name: str) -> int:
+        """Snapshot id a tag pins (pass to ``read(snapshot=...)``)."""
+        tags = self._load_manifest(table).get("tags", {})
+        if name not in tags:
+            raise KeyError(f"{table}: unknown tag {name!r}")
+        return tags[name]
+
     def drop_branch(self, table: str, name: str) -> None:
         """Abandon a branch (its staged snapshots stay in the manifest for
         time travel until expire, but nothing references them)."""
@@ -1051,6 +1091,7 @@ class Catalog:
                 {s["id"] for s in m["snapshots"][-keep_last:]}
                 | {m["current"]}
                 | set(m.get("refs", {}).values())  # staged branch heads
+                | set(m.get("tags", {}).values())  # release tags pin bytes
             )
             before = len(m["snapshots"])
             m["snapshots"] = [s for s in m["snapshots"] if s["id"] in keep_ids]
@@ -1490,6 +1531,9 @@ class Catalog:
             refs = m.get("refs", {})
             for name in [n for n, v in refs.items() if v > snapshot]:
                 del refs[name]  # branch heads past the rollback point dangle
+            tags = m.get("tags", {})
+            for name in [n for n, v in tags.items() if v > snapshot]:
+                del tags[name]  # tags past the rollback point dangle too
             return snapshot
 
         self._locked_commit(table, mutate)
