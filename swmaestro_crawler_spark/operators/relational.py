@@ -1089,9 +1089,9 @@ WITH unified AS (
     FROM orders WHERE o_orderkey % 3 = 1
 )
 SELECT channel,
-       count(*) AS n_orders,
-       sum(total_cents) AS sum_cents,
-       sum(okey) AS sum_okey
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(total_cents) AS BIGINT) AS sum_cents,
+       CAST(sum(okey) AS BIGINT) AS sum_okey
 FROM unified
 GROUP BY channel
 """
