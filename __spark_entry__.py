@@ -109,6 +109,7 @@ def _all_modules():
 # the union r01-r04 covers every contract query.
 _NEVER_CHECKED_FIRST = (
     "catalog_schema_evolution",
+    "inverted_index_incremental",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",
