@@ -110,6 +110,7 @@ def _all_modules():
 _NEVER_CHECKED_FIRST = (
     "catalog_schema_evolution",
     "inverted_index_incremental",
+    "kmv_set_ops",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

@@ -275,9 +275,121 @@ GROUP BY probe.o_custkey
 """
 
 
+# --- KMV set algebra --------------------------------------------------------
+# The property that makes bottom-k the sketch of choice for a crawl's
+# audience/overlap questions (Beyer et al. 2007): two groups' sketches
+# MERGE into the union's sketch (K smallest of the combined hash sets),
+# and the intersection is estimated from the match fraction INSIDE the
+# merged sketch: est_inter = matches * est_union / K. Everything stays
+# the same md5-derived 48-bit integer hash, so the whole algebra —
+# merge, kth-min, both estimates — replays exactly in DuckDB. The test
+# pins the estimates against the exact set sizes. Scale shape: each
+# side's bottom-K is the same one groupBy + per-group top-K as
+# kmv_distinct; the merge/rank step handles <= 2K rows total.
+# ----------------------------------------------------------------------------
+KMV_SET_A = "1-URGENT"
+KMV_SET_B = "2-HIGH"
+
+_KMV_H = (
+    "CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 12), 16, 10)"
+    " AS BIGINT)"
+)
+
+
+def _kmv_bottom(spark: SparkSession, sf_dir: str, pr: str) -> DataFrame:
+    """Bottom-K distinct hashes of the custkey set for one priority."""
+    from pyspark.sql import Window
+
+    dist = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == pr)
+        .selectExpr(f"{_KMV_H} AS h")
+        .distinct()
+    )
+    w = Window.orderBy("h")
+    return dist.select("h", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= KMV_K
+    ).select("h")
+
+
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + intersection cardinality estimates for two customer sets
+    from their MERGED bottom-K sketches (one output row, all-integer)."""
+    a = _kmv_bottom(spark, sf_dir, KMV_SET_A).withColumn("in_a", F.lit(1))
+    b = _kmv_bottom(spark, sf_dir, KMV_SET_B).withColumn("in_b", F.lit(1))
+    from pyspark.sql import Window
+
+    merged = a.join(b, "h", "full_outer").select(
+        "h",
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    w = Window.orderBy("h")
+    sk = merged.select(
+        "h", "in_a", "in_b", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= KMV_K)
+    per = sk.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("h"))).alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_matches"),
+    )
+    union_sql = (
+        f"CASE WHEN n_sketch < {KMV_K} THEN n_sketch"
+        f" ELSE CAST({(KMV_K - 1) << KMV_BITS} AS BIGINT) div kth END"
+    )
+    return per.select(
+        "n_sketch",
+        F.coalesce("kth", F.lit(-1)).alias("kth_hash"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.expr(union_sql).alias("est_union"),
+        F.expr(
+            f"CASE WHEN n_sketch < {KMV_K} THEN n_matches"
+            f" ELSE (n_matches * ({union_sql})) div {KMV_K} END"
+        ).cast("long").alias("est_intersect"),
+    )
+
+
+def _sql_kmv_bottom(pr: str) -> str:
+    return f"""(
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders WHERE o_orderpriority = '{pr}'))
+  WHERE rn <= {KMV_K})"""
+
+
+SQL_KMV_SET_OPS = f"""
+WITH a AS {_sql_kmv_bottom(KMV_SET_A)},
+b AS {_sql_kmv_bottom(KMV_SET_B)},
+merged AS (
+  SELECT coalesce(a.h, b.h) AS h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM a FULL OUTER JOIN b ON a.h = b.h),
+sk AS (
+  SELECT h, in_a, in_b, row_number() OVER (ORDER BY h) AS rn FROM merged
+  QUALIFY rn <= {KMV_K}),
+per AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS kth,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_matches
+  FROM sk)
+SELECT n_sketch,
+       coalesce(kth, -1) AS kth_hash,
+       n_matches,
+       CASE WHEN n_sketch < {KMV_K} THEN n_sketch
+            ELSE {(KMV_K - 1) << KMV_BITS}::BIGINT // kth END AS est_union,
+       CASE WHEN n_sketch < {KMV_K} THEN n_matches
+            ELSE (n_matches * ({(KMV_K - 1) << KMV_BITS}::BIGINT // kth))
+                 // {KMV_K} END AS est_intersect
+FROM per
+"""
+
+
 QUERIES = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "kmv_set_ops": (q_kmv_set_ops, SQL_KMV_SET_OPS),
     "countmin_heavy_hitters": (
         q_countmin_heavy_hitters,
         SQL_COUNTMIN_HEAVY_HITTERS,

@@ -79,3 +79,31 @@ def test_hll_build_has_partial_aggregation_no_joins_on_build(spark):
     # register build + per-group rollup both get map-side partials
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_kmv_set_ops_estimates_track_exact(spark):
+    from pyspark.sql import functions as F
+
+    from swmaestro_crawler_spark.operators.sketches import (
+        KMV_SET_A,
+        KMV_SET_B,
+        q_kmv_set_ops,
+    )
+    from swmaestro_crawler_spark.sources.testdata import load
+
+    o = load(spark, SF, "orders")
+    a = {r[0] for r in o.filter(F.col("o_orderpriority") == KMV_SET_A)
+         .select("o_custkey").distinct().collect()}
+    b = {r[0] for r in o.filter(F.col("o_orderpriority") == KMV_SET_B)
+         .select("o_custkey").distinct().collect()}
+    row = q_kmv_set_ops(spark, SF).collect()[0]
+    exact_union, exact_inter = len(a | b), len(a & b)
+    # bottom-64 sketch: ~1/sqrt(K) relative error; allow 3 sigma
+    assert abs(row.est_union - exact_union) <= 0.40 * exact_union
+    # intersection estimate is coarser (match fraction of K) — sanity
+    # bound plus the structural invariants
+    assert 0 <= row.n_matches <= row.n_sketch
+    assert row.est_intersect <= row.est_union
+    assert abs(row.est_intersect - exact_inter) <= max(
+        0.75 * exact_inter, exact_union * 3 // 64
+    )
