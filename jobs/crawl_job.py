@@ -58,6 +58,10 @@ def main() -> None:
                     help="revalidate: unchanged pages become 4-column "
                     "observation rows instead of re-stored span documents "
                     "(HTTP If-None-Match shape)")
+    ap.add_argument("--media-sweep", action="store_true",
+                    help="after the crawl, resolve new media_refs into "
+                    "the content-addressed blob store (idempotent; only "
+                    "unseen refs fetch, only new content stores)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -114,6 +118,16 @@ def main() -> None:
             spark, crawl.cat, cfg, args.revisit_round,
             conditional=args.conditional_revisit,
         )))
+    if args.media_sweep:
+        from swmaestro_crawler_spark.plans.media import media_sweep
+
+        ms = media_sweep(spark, crawl.cat)
+        print(json.dumps({
+            "media_refs_seen": ms.refs_seen,
+            "media_refs_new": ms.refs_new,
+            "media_blobs_new": ms.blobs_new,
+            "media_blob_bytes": ms.blobs_bytes,
+        }))
     print(json.dumps({"rounds_run": len(results), "warehouse": cfg.warehouse}))
     spark.stop()
 

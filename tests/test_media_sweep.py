@@ -1,0 +1,167 @@
+"""Content-addressed media pipeline: sweep vs a scalar oracle,
+idempotency, O(delta) incremental sweeps, dedup, and crash ordering."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from swmaestro_crawler_spark.operators.multimodal import synth_blob
+from swmaestro_crawler_spark.plans.crawl import Crawl
+from swmaestro_crawler_spark.plans.media import (
+    CONTENT_SPACE,
+    MEDIA_BLOBS,
+    MEDIA_REFS,
+    media_lookup,
+    media_sweep,
+)
+from swmaestro_crawler_spark.schema import SPANS_DOC
+from swmaestro_crawler_spark.sources.synth_web import make_seeds
+from tests.conftest import small_cfg
+
+
+def _crawl(spark, tmp_path, rounds=2):
+    cfg = small_cfg(str(tmp_path / "wh"), max_rounds=rounds, max_depth=rounds)
+    c = Crawl(spark, cfg)
+    c.run(spark.createDataFrame(make_seeds(cfg, 30)), rounds=rounds)
+    return c
+
+
+def _expected(spark, cat):
+    """Scalar oracle: replay the sweep in plain Python."""
+    spans = cat.read("spans", SPANS_DOC).collect()
+    refs: dict[str, int] = {}
+    for r in spans:
+        for s in r.spans:
+            if s.kind == "media" and s.media_ref:
+                refs[s.media_ref] = min(refs.get(s.media_ref, 1 << 30), r.round)
+    out = {}
+    for ref, rnd in refs.items():
+        base = ref.rsplit("/", 1)[-1]
+        key = int(hashlib.md5(base.encode()).hexdigest()[:12], 16) % CONTENT_SPACE
+        out[ref] = (key, rnd, synth_blob(key, "image"))
+    return out
+
+
+def test_sweep_matches_scalar_oracle_and_dedups(spark, tmp_path):
+    c = _crawl(spark, tmp_path)
+    res = media_sweep(spark, c.cat)
+    want = _expected(spark, c.cat)
+    assert res.refs_seen == len(want) and res.refs_new == len(want)
+    got_refs = {
+        r.media_ref: (r.content_key, r.round)
+        for r in c.cat.read("media_refs", MEDIA_REFS).collect()
+    }
+    assert got_refs == {ref: (k, rnd) for ref, (k, rnd, _) in want.items()}
+    blobs = {r.content_key: r for r in c.cat.read("media_blobs", MEDIA_BLOBS).collect()}
+    # content-addressed: one row per distinct key, byte-exact content
+    assert set(blobs) == {k for k, _, _ in want.values()}
+    assert res.blobs_new == len(blobs) <= res.refs_new
+    for ref, (k, _, blob) in want.items():
+        assert bytes(blobs[k].blob) == blob
+        assert blobs[k].n_bytes == len(blob)
+    # dedup actually occurred (CONTENT_SPACE collisions are designed in)
+    if res.refs_new > CONTENT_SPACE:
+        assert res.blobs_new < res.refs_new
+
+
+def test_second_sweep_is_noop(spark, tmp_path):
+    c = _crawl(spark, tmp_path)
+    media_sweep(spark, c.cat)
+    s_refs = c.cat.current_snapshot("media_refs")
+    s_blobs = c.cat.current_snapshot("media_blobs")
+    res = media_sweep(spark, c.cat)
+    assert res.refs_new == 0 and res.blobs_new == 0
+    # no empty snapshots committed either
+    assert c.cat.current_snapshot("media_refs") == s_refs
+    assert c.cat.current_snapshot("media_blobs") == s_blobs
+
+
+def test_incremental_delta_sweep_equals_full(spark, tmp_path):
+    """Sweep after round 1, then fold in round 2's spans via read_delta —
+    final store equals a one-shot full sweep on a copied warehouse."""
+    c = _crawl(spark, tmp_path, rounds=3)
+    spans_snaps = [
+        s["id"] for s in c.cat._load_manifest("spans")["snapshots"]
+    ]
+    # full sweep reference state (fresh tables in a second catalog dir)
+    import shutil
+
+    from swmaestro_crawler_spark.catalog import Catalog
+
+    ref_wh = str(tmp_path / "wh_ref")
+    shutil.copytree(c.cat.warehouse, ref_wh)
+    ref_cat = Catalog(spark, ref_wh)
+    media_sweep(spark, ref_cat)
+
+    # incremental: everything up to the second-to-last spans snapshot,
+    # then ONLY the last snapshot's delta
+    prev = spans_snaps[-2]
+    last = spans_snaps[-1]
+    full_spans = c.cat.read("spans", SPANS_DOC, snapshot=prev)
+    assert full_spans.count() < c.cat.read("spans", SPANS_DOC).count()
+    # sweep the prefix by temporarily rolling spans back, then restore
+    c.cat.rollback("spans", prev)
+    media_sweep(spark, c.cat)
+    c.cat.rollback("spans", last) if False else None
+    # restore the manifest to include the last snapshot again
+    # (rollback dropped it; re-read from the reference copy)
+    m_ref = ref_cat._load_manifest("spans")
+    c.cat._commit_manifest("spans", m_ref)
+    res2 = media_sweep(spark, c.cat, since_snapshot=last)
+    # delta sweep fetched only the new refs
+    assert res2.refs_new <= res2.refs_seen
+    a = sorted(
+        map(tuple, c.cat.read("media_refs", MEDIA_REFS).collect())
+    )
+    b = sorted(map(tuple, ref_cat.read("media_refs", MEDIA_REFS).collect()))
+    assert a == b
+    ab = sorted(
+        (r.content_key, r.kind, r.n_bytes, bytes(r.blob))
+        for r in c.cat.read("media_blobs", MEDIA_BLOBS).collect()
+    )
+    bb = sorted(
+        (r.content_key, r.kind, r.n_bytes, bytes(r.blob))
+        for r in ref_cat.read("media_blobs", MEDIA_BLOBS).collect()
+    )
+    assert ab == bb
+
+
+def test_crash_between_commits_recovers(spark, tmp_path):
+    """Blobs commit before refs: simulate the crash window by sweeping,
+    then dropping the refs table back to empty — the re-sweep re-resolves
+    every ref but stores ZERO duplicate blobs."""
+    c = _crawl(spark, tmp_path)
+    media_sweep(spark, c.cat)
+    blobs_before = sorted(
+        (r.content_key, bytes(r.blob))
+        for r in c.cat.read("media_blobs", MEDIA_BLOBS).collect()
+    )
+    c.cat.drop("media_refs")  # refs commit "never happened"
+    res = media_sweep(spark, c.cat)
+    assert res.refs_new > 0 and res.blobs_new == 0  # blob store intact
+    blobs_after = sorted(
+        (r.content_key, bytes(r.blob))
+        for r in c.cat.read("media_blobs", MEDIA_BLOBS).collect()
+    )
+    assert blobs_after == blobs_before
+    assert c.cat.read("media_refs", MEDIA_REFS).count() == res.refs_new
+
+
+def test_media_lookup_roundtrip(spark, tmp_path):
+    c = _crawl(spark, tmp_path)
+    media_sweep(spark, c.cat)
+    some = (
+        c.cat.read("media_refs", MEDIA_REFS)
+        .orderBy("media_ref")
+        .limit(5)
+        .select("media_ref")
+    )
+    got = media_lookup(c.cat, some).collect()
+    assert len(got) == 5
+    for r in got:
+        base = r.media_ref.rsplit("/", 1)[-1]
+        key = int(hashlib.md5(base.encode()).hexdigest()[:12], 16) % CONTENT_SPACE
+        assert r.content_key == key
+        assert bytes(r.blob) == synth_blob(key, "image")
