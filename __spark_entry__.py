@@ -111,6 +111,7 @@ _NEVER_CHECKED_FIRST = (
     "catalog_schema_evolution",
     "inverted_index_incremental",
     "kmv_set_ops",
+    "label_propagation_communities",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

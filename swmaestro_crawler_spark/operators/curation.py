@@ -642,6 +642,10 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("b", F.pmod(word_hash(F.col("g")), F.lit(DSIR_BUCKETS)))
         .drop("g")
     )
+    # the regex tokenize + explode + md5 hash is the expensive pass; it
+    # feeds BOTH the distribution fit and the per-doc counts, so persist
+    # the compact (doc_id, source, b) stream and run it once
+    feats.persist()
     tgt = d.agg(F.min("source")).collect()[0][0]
     per = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("nr"),

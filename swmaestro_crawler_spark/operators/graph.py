@@ -341,7 +341,88 @@ SELECT node AS node_id, role, node // 2 AS key, score FROM (
 SQL_HITS_PURCHASE = _sql_hits_purchase()
 
 
+# ---------------------------------------------------------------------------
+# Label propagation (Raghavan et al. 2007) — community detection as the
+# third Pregel-shaped iteration over the purchase graph. Deterministic
+# synchronous variant: every node simultaneously adopts the most
+# frequent label among its neighbors, ties broken by the SMALLEST
+# label, for a FIXED LPA_ITERS supersteps (no convergence test — the
+# oracle replays finite unrolled CTEs; synchronous LPA on bipartite
+# graphs can oscillate, which a fixed iteration count makes a non-issue
+# for exactness). Scale shape is identical to pagerank/HITS: per
+# superstep ONE hash join of the node-sized label table onto the edges
+# (edges are never re-shuffled) + one (src, label) partial-agg count +
+# one argmax groupBy — all map-side combinable; the argmax is
+# max(struct(cnt, -label)), never a window over the full node set.
+# ---------------------------------------------------------------------------
+LPA_ITERS = 3
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, label) after ``iters`` synchronous supersteps from
+    label = node id. ``edges`` must be symmetrized (src<->dst)."""
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m")
+        ).select("node", (-F.col("m.nl")).alias("label"))
+    return labels
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: per-node community label after LPA_ITERS
+    supersteps, plus the community size (one extra node-sized groupBy
+    join)."""
+    labels = label_propagation(purchase_edges(spark, sf_dir))
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "label").select("node", "label", "community_size")
+
+
+def _sql_lpa() -> str:
+    parts = [
+        f"""pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, LPA_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.src AS node, p.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN l{i - 1} p ON p.node = e.dst
+  GROUP BY e.src, p.label),
+l{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label ASC) AS rnk
+    FROM c{i}) WHERE rnk = 1)"""
+        )
+    return ",\n".join(parts)
+
+
+SQL_LABEL_PROPAGATION = f"""
+WITH {_sql_lpa()},
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+  FROM l{LPA_ITERS} GROUP BY label)
+SELECT node, l.label, community_size
+FROM l{LPA_ITERS} l JOIN sizes USING (label)
+"""
+
+
 QUERIES = {
     "pagerank_purchase_graph": (q_pagerank_purchase, SQL_PAGERANK_PURCHASE),
     "hits_purchase_graph": (q_hits_purchase, SQL_HITS_PURCHASE),
+    "label_propagation_communities": (q_label_propagation, SQL_LABEL_PROPAGATION),
 }

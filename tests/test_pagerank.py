@@ -107,3 +107,34 @@ def test_lazy_form_matches_eager(spark):
     # per superstep) — same results either way
     deep = {r.node: r.rank for r in pagerank(edges, iters=5, materialize=False).collect()}
     assert deep == {r.node: r.rank for r in pagerank(edges, iters=5).collect()}
+
+
+def test_label_propagation_layout_independent_and_shaped(spark):
+    """LPA: labels are bit-identical regardless of partitioning (the
+    argmax tie-break is total), every node lands in a community led by
+    a real node id, and a community is never larger than the graph."""
+    from swmaestro_crawler_spark.operators.graph import (
+        label_propagation,
+        q_label_propagation,
+    )
+
+    edges = purchase_edges(spark, SF_DIR)
+    a = {r.node: r.label for r in label_propagation(edges).collect()}
+    b = {
+        r.node: r.label
+        for r in label_propagation(edges.repartition(13, "dst")).collect()
+    }
+    assert a == b and len(a) > 0
+    nodes = set(a)
+    assert set(a.values()) <= nodes  # labels are node ids
+    df = q_label_propagation(spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) == len(nodes)
+    assert all(1 <= r.community_size <= len(nodes) for r in rows)
+    # scale shape: the superstep joins the node-sized label table onto
+    # the edges -- never a cartesian, never a single-partition exchange
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
