@@ -59,6 +59,12 @@ def _reset_session_state(spark) -> None:
         _km._FIT_CACHE.clear()
     except Exception:
         pass
+    try:
+        from swmaestro_crawler_spark.operators import pq as _pq
+
+        _pq._PQ_CACHE.clear()  # PQ codebook memo: repeats must refit
+    except Exception:
+        pass
 
 
 def _median(xs: list[float]) -> float:

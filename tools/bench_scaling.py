@@ -225,6 +225,59 @@ def worker(cores: int) -> None:
             == spans_before,
         }
 
+    # SCALING_MEDIA=1: after the crawl round, resolve every media_ref in
+    # the span history into the content-addressed blob store, then prove
+    # the second sweep is a no-op. Digests of both tables must be
+    # identical across core counts (the mapping and the blob bytes are
+    # pure functions of the reference set).
+    media_block = None
+    if os.environ.get("SCALING_MEDIA") == "1":
+        from swmaestro_crawler_spark.plans.media import (
+            MEDIA_BLOBS,
+            MEDIA_REFS,
+            media_sweep,
+        )
+
+        t1 = time.perf_counter()
+        ms = media_sweep(spark, crawl.cat)
+        md_wall = time.perf_counter() - t1
+        refs_dig = (
+            crawl.cat.read("media_refs", MEDIA_REFS)
+            .agg(
+                F.sum(
+                    F.xxhash64("media_ref", "content_key", "round").cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        blobs_dig = (
+            crawl.cat.read("media_blobs", MEDIA_BLOBS)
+            .agg(
+                F.sum(
+                    F.xxhash64("content_key", "kind", "n_bytes", "blob").cast(
+                        "decimal(38,0)"
+                    )
+                ).alias("h"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()
+        )
+        second = media_sweep(spark, crawl.cat)
+        media_block = {
+            "wall_s": round(md_wall, 3),
+            "refs_seen": ms.refs_seen,
+            "refs_new": ms.refs_new,
+            "blobs_new": ms.blobs_new,
+            "blob_bytes": ms.blobs_bytes,
+            "refs_per_sec": round(ms.refs_new / md_wall, 1),
+            "refs_digest": [str(refs_dig.h), int(refs_dig.n)],
+            "blobs_digest": [str(blobs_dig.h), int(blobs_dig.n)],
+            "second_sweep_noop": second.refs_new == 0 and second.blobs_new == 0,
+        }
+
     r = results[0]
     stages = {k: round(v, 3) for k, v in (r.timings or {}).items()}
     processed = r.admitted + r.excluded + r.deferred
@@ -256,6 +309,7 @@ def worker(cores: int) -> None:
                 "crawl_order_digest": [str(order_dig.h), int(order_dig.n)],
                 "seen_digest": [str(seen_dig.h), int(seen_dig.n)],
                 **({"revisit": revisit_block} if revisit_block else {}),
+                **({"media": media_block} if media_block else {}),
             }
         ),
         flush=True,
@@ -616,6 +670,80 @@ def run_revisit_check(levels=(2, 8)) -> dict:
     return block
 
 
+def run_media_check(levels=(2, 8)) -> dict:
+    """Media pipeline at frontier scale: crawl one steady-state round,
+    then resolve every media_ref into the content-addressed store at N
+    and 4N cores. Mapping + blob digests must be identical across core
+    counts and repeats, and the immediate re-sweep must be a no-op.
+    Merges a ``media_check`` block into BENCH/scaling.json."""
+    results, all_walls = {}, {}
+    for cores in levels:
+        runs = []
+        for i in range(REPEATS):
+            print(
+                f"== media run local[{cores}] over {N_URLS:,} URLs "
+                f"(run {i + 1}/{REPEATS}) ==",
+                flush=True,
+            )
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env=dict(os.environ, SCALING_MEDIA="1"),
+            )
+            line = next(
+                (ln for ln in p.stdout.splitlines() if ln.startswith("WORKER_RESULT ")), None
+            )
+            if line is None:
+                sys.stderr.write(p.stdout[-2000:] + p.stderr[-4000:])
+                raise SystemExit(f"media worker local[{cores}] failed")
+            runs.append(json.loads(line[len("WORKER_RESULT "):]))
+            print(json.dumps(runs[-1]), flush=True)
+        for r in runs:
+            if not r["media"]["second_sweep_noop"]:
+                raise SystemExit(f"media re-sweep not idempotent at local[{cores}]")
+        for key in ("refs_digest", "blobs_digest"):
+            if len({tuple(r["media"][key]) for r in runs}) != 1:
+                raise SystemExit(f"nondeterministic media {key} at local[{cores}]")
+        results[cores] = min(runs, key=lambda r: r["media"]["wall_s"])
+        all_walls[cores] = [r["media"]["wall_s"] for r in runs]
+    a, b = levels
+    eff = round(
+        (results[b]["media"]["refs_per_sec"] / results[a]["media"]["refs_per_sec"])
+        / (b / a),
+        3,
+    )
+    block = {
+        "n_urls": N_URLS,
+        "levels": {str(c): results[c]["media"] for c in levels},
+        "all_walls": {str(c): all_walls[c] for c in levels},
+        "efficiency": {f"{a}->{b}": eff},
+        "digests_match_across_levels": all(
+            results[a]["media"][k] == results[b]["media"][k]
+            for k in ("refs_digest", "blobs_digest")
+        ),
+        "note": (
+            "SCALING_MEDIA=1: after the crawl round, media_sweep resolves "
+            "every span media_ref into the content-addressed store "
+            "(MEDIA_REFS mapping + MEDIA_BLOBS one-row-per-content). "
+            "Digests of both tables identical across core counts and "
+            "repeats; the immediate second sweep fetches and stores "
+            "nothing (idempotence at frontier scale)."
+        ),
+    }
+    path = os.path.join(REPO, "BENCH", "scaling.json")
+    summary = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            summary = json.load(f)
+    summary["media_check"] = block
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(block, indent=1))
+    return block
+
+
 def _run_worker(cores: int) -> dict:
     p = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
@@ -755,6 +883,7 @@ def main() -> None:
             "host_probe",
             "redirect_digest_check",
             "revisit_check",
+            "media_check",
         ):
             if k in prior:
                 summary[k] = prior[k]
@@ -1079,6 +1208,39 @@ observation rows. Best of {len(rv['all_walls'][lv[0]])} runs per level
   across levels and repeats.
 """
             )
+        md = summary.get("media_check")
+        if md:
+            lv = sorted(md["levels"], key=int)
+            md_pair, md_eff = next(iter(md["efficiency"].items()))
+            mrows = "\n".join(
+                f"| local[{c}] | {md['levels'][c]['wall_s']} "
+                f"| {md['levels'][c]['refs_new']:,} "
+                f"| {md['levels'][c]['blobs_new']:,} "
+                f"| {md['levels'][c]['refs_per_sec']:,} |"
+                for c in lv
+            )
+            f.write(
+                f"""
+## Media-pipeline check at frontier scale
+
+After the {md['n_urls']:,}-URL crawl round, `media_sweep` resolves
+every span media_ref into the content-addressed store
+(`SCALING_MEDIA=1`): the MEDIA_REFS mapping plus one MEDIA_BLOBS row
+per distinct content hash. Best of {len(md['all_walls'][lv[0]])} runs
+per level (all walls: {md['all_walls']}):
+
+| level | sweep wall s | refs resolved | distinct blobs | refs/s |
+|---|---|---|---|---|
+{mrows}
+
+- **{md_pair} cores: efficiency {md_eff}**
+  ({"PASS" if md_eff >= 0.8 else "below"} ≥0.8).
+- Mapping and blob digests
+  {"IDENTICAL" if md['digests_match_across_levels'] else "DIFFERENT (BUG)"}
+  across levels and repeats; the immediate second sweep resolved and
+  stored NOTHING (idempotence at frontier scale).
+"""
+            )
         hp = summary.get("host_probe")
         if hp:
             hrows = "\n".join(
@@ -1127,6 +1289,8 @@ if __name__ == "__main__":
         run_redirect_check()
     elif len(sys.argv) > 1 and sys.argv[1] == "--revisit-check":
         run_revisit_check()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--media-check":
+        run_media_check()
     elif len(sys.argv) > 1 and sys.argv[1] == "--render":
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as fh:
             write_baseline_md(json.load(fh))
