@@ -112,6 +112,7 @@ _NEVER_CHECKED_FIRST = (
     "inverted_index_incremental",
     "kmv_set_ops",
     "label_propagation_communities",
+    "scd2_dimension",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

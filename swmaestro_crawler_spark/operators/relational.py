@@ -1097,6 +1097,127 @@ GROUP BY channel
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) apply — the versioned-dimension
+# maintenance pattern: an incoming change batch CLOSES the current row of
+# every key whose tracked value actually changed (valid_to = batch) and
+# INSERTS the new version (valid_from = batch, open); identical incoming
+# values are suppressed as no-ops; untouched keys carry through. The
+# reference's analogue is its status-flag UPDATE loop (one row per key,
+# history lost); SCD2 keeps the full history queryable AS-OF any batch.
+# Scale shape: one full-outer hash join of the current slice with the
+# change batch on the key (change batches are dimension-sized — Spark
+# broadcasts when small), then pure projections; no window, no repeated
+# scans. Values travel as floor-cents BIGINT so the engines compare
+# exactly.
+# ---------------------------------------------------------------------------
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_id: int,
+) -> DataFrame:
+    """Apply one change batch to a versioned dimension. ``dim`` rows:
+    key, tracked..., valid_from, valid_to (null = open), is_current.
+    ``changes`` rows: key, tracked... Returns the new full dimension."""
+    closed_hist = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current"))
+    ch = changes.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_n_{c}") for c in tracked]
+    )
+    j = cur.join(ch, cur[key] == ch["_k"], "full_outer")
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"_n_{c}"))
+    untouched = j.filter(F.col("_k").isNull() | same).select(dim.columns)
+    closing = j.filter(F.col("_k").isNotNull() & F.col(key).isNotNull() & ~same)
+    closed = closing.select(
+        key,
+        *tracked,
+        "valid_from",
+        F.lit(batch_id).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = closing.select(
+        F.col("_k").alias(key),
+        *[F.col(f"_n_{c}").alias(c) for c in tracked],
+        F.lit(batch_id).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    inserts = j.filter(F.col(key).isNull()).select(
+        F.col("_k").alias(key),
+        *[F.col(f"_n_{c}").alias(c) for c in tracked],
+        F.lit(batch_id).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_hist.unionByName(untouched).unionByName(closed).unionByName(
+        opened
+    ).unionByName(inserts)
+
+
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query: customers as an SCD2 dimension through one change
+    batch — keys ≡0 mod 7 arrive with a new balance EXCEPT keys ≡0
+    mod 21, which arrive unchanged (no-op suppression), plus one brand-
+    new key beyond the current max (insert path)."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    dim = c.select(
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        cents.alias("bal_cents"),
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    max_key = c.agg(F.max("c_custkey")).collect()[0][0]
+    changes = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.when(F.col("c_custkey") % 21 == 0, cents)
+            .otherwise(cents + 1000)
+            .alias("bal_cents"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(int(max_key) + 1, 0, 12345)],
+                "custkey long, nationkey long, bal_cents long",
+            )
+        )
+    )
+    return scd2_apply(
+        dim, changes, "custkey", ["nationkey", "bal_cents"], batch_id=1
+    )
+
+
+SQL_SCD2_DIMENSION = """
+WITH dim AS (
+  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer),
+changed AS (
+  SELECT custkey FROM dim
+  WHERE custkey % 7 = 0 AND custkey % 21 <> 0)
+SELECT custkey, nationkey, bal_cents,
+       0 AS valid_from,
+       CASE WHEN custkey IN (SELECT custkey FROM changed)
+            THEN 1 ELSE NULL END AS valid_to,
+       custkey NOT IN (SELECT custkey FROM changed) AS is_current
+FROM dim
+UNION ALL
+SELECT custkey, nationkey, bal_cents + 1000, 1, NULL, TRUE
+FROM dim WHERE custkey IN (SELECT custkey FROM changed)
+UNION ALL
+SELECT (SELECT max(custkey) FROM dim) + 1, 0, 12345, 1, NULL, TRUE
+"""
+
+
 QUERIES = {
     "pricing_summary_agg": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "recent_orders_scan": (q_recent_orders, SQL_RECENT_ORDERS),
@@ -1129,6 +1250,7 @@ QUERIES = {
         q_catalog_schema_evolution,
         SQL_CATALOG_SCHEMA_EVOLUTION,
     ),
+    "scd2_dimension": (q_scd2_dimension, SQL_SCD2_DIMENSION),
     "catalog_time_travel": (q_catalog_time_travel, SQL_CATALOG_TIME_TRAVEL),
     "catalog_incremental_read": (
         q_catalog_incremental_read,
