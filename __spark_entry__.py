@@ -113,6 +113,7 @@ _NEVER_CHECKED_FIRST = (
     "kmv_set_ops",
     "label_propagation_communities",
     "scd2_dimension",
+    "dedup_ppjoin_pairs",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

@@ -716,6 +716,116 @@ FROM lab
 )
 
 
+# ---------------------------------------------------------------------------
+# PPJoin-style EXACT set-similarity join (prefix filtering; Xiao et al.
+# 2008 / Chaudhuri et al. 2006) — the deterministic complement to the
+# probabilistic MinHash/LSH path: every pair with Jaccard >= t over the
+# 3-gram shingle sets, no false negatives, no tuning. The candidate cut
+# is the prefix-filter theorem: order every doc's shingles by the GLOBAL
+# (df asc, shingle asc) rarest-first total order; if J(A,B) >= t the two
+# prefixes (length |A| - ceil(t*|A|) + 1) must share a shingle — so only
+# prefix tokens enter the self-join, and prefixes are dominated by RARE
+# shingles (low fan-out keys, the opposite of the stopword blowup a
+# naive token self-join hits). A length filter (t*|B| <= |A| when
+# |A|<=|B|) cuts survivors again before the exact verify: one
+# array_intersect over the two sorted shingle arrays, threshold compared
+# as the exact cross-multiplication T_DEN*inter >= T_NUM*union (no
+# floats anywhere). ceil over the rational threshold is integer math:
+# ceil(7s/10) = (7s + 9) div 10.
+#
+# Scale shape: shingle df is one map-side-combinable groupBy; per-doc
+# prefixes are array ops after one groupBy(doc_id) (docs are the unit of
+# parallelism); the candidate join is hash-partitioned on the prefix
+# shingle; the verify joins the doc->array table by doc_id twice. No
+# window over the global vocabulary, no cartesian. The CONTRACT query
+# restricts both engines to doc_id % 3 = 0 purely so the DuckDB oracle
+# can brute-force all pairs as the independent check; the operator
+# itself takes any corpus (tests run it unrestricted vs a Spark brute
+# force at sf0.001).
+# ---------------------------------------------------------------------------
+PPJOIN_T_NUM, PPJOIN_T_DEN = 7, 10
+
+
+def ppjoin_pairs(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, w) distinct sets -> (doc_a, doc_b, inter, uni) for every
+    pair with Jaccard >= PPJOIN_T_NUM/PPJOIN_T_DEN (doc_a < doc_b)."""
+    tn, td = PPJOIN_T_NUM, PPJOIN_T_DEN
+    dfreq = doc_sets.groupBy("w").agg(F.count(F.lit(1)).alias("wdf"))
+    ranked = doc_sets.join(dfreq, "w")
+    per = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.array_sort(F.collect_list(F.struct("wdf", "w"))).alias("ordered"),
+    )
+    plen = F.col("sz") - F.expr(f"({tn} * sz + {td - 1}) div {td}") + 1
+    pref = per.select(
+        "doc_id",
+        "sz",
+        F.explode(
+            F.transform(
+                F.slice("ordered", 1, plen.cast("int")), lambda s: s["w"]
+            )
+        ).alias("w"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # length filter: J >= t forces td*min_size >= tn*max_size
+        .filter(F.col("a.sz") * td >= F.col("b.sz") * tn)
+        .filter(F.col("b.sz") * td >= F.col("a.sz") * tn)
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = per.select(
+        "doc_id", F.transform("ordered", lambda s: s["w"]).alias("ws"), "sz"
+    )
+    return (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ws").alias("wa"),
+                F.col("sz").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ws").alias("wb"),
+                F.col("sz").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("wa", "wb")).cast("long"))
+        .withColumn("uni", (F.col("sa") + F.col("sb") - F.col("inter")).cast("long"))
+        .filter(F.col("inter") * td >= F.col("uni") * tn)
+        .select("doc_a", "doc_b", "inter", "uni")
+    )
+
+
+def q_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _doc_shingles(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return ppjoin_pairs(sets)
+
+
+SQL_PPJOIN_PAIRS = f"""
+WITH sets AS (
+  SELECT doc_id, list_sort(list(DISTINCT w)) AS ws
+  FROM ({_SQL_DOC_SHINGLES}) t
+  WHERE doc_id % 3 = 0
+  GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS inter,
+       CAST(len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)) AS BIGINT)
+         AS uni
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE {PPJOIN_T_DEN} * len(list_intersect(a.ws, b.ws))
+      >= {PPJOIN_T_NUM} * (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+"""
+
+
 QUERIES = {
     "dedup_exact_text": (q_dedup_exact_text, SQL_DEDUP_EXACT_TEXT),
     "dedup_keepfirst_events": (q_dedup_keepfirst_events, SQL_DEDUP_KEEPFIRST_EVENTS),
@@ -723,6 +833,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "dedup_simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_ppjoin_pairs": (q_ppjoin_pairs, SQL_PPJOIN_PAIRS),
     "dedup_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_cluster_representatives": (
