@@ -907,38 +907,76 @@ class Catalog:
         schema: StructType,
         snapshot: int | None = None,
         branch: str | None = None,
+        project: StructType | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: current main; ``branch`` reads a
         staged ref head). Empty table -> empty DF with the declared
         schema, so pipelines need no existence branches. Honors
         table-level ``column_map``/``row_filter`` props set by zero-copy
-        ``append_files``."""
-        from pyspark.sql import functions as F
+        ``append_files``.
 
+        ``project``: optional SUBSET of ``schema`` (nested-struct subsets
+        allowed) pushed to the parquet scan — the Iceberg projected-read
+        analogue. Catalyst prunes unused TOP-LEVEL columns on its own,
+        but a filter the optimizer infers over a whole array column
+        (e.g. ``size(spans) > 0`` from an explode) defeats nested-field
+        pruning, so a consumer that needs two subfields of a wide struct
+        would otherwise decode every payload byte. Pass the pruned type
+        and only those leaves are read."""
         m = self._load_manifest(table)
         sid = self._base_sid(m, branch) if snapshot is None else snapshot
         snaps = [s for s in m["snapshots"] if s["id"] == sid]
         files = snaps[0]["files"] if snaps else []
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], project or schema)
         if m.get("schema") is not None:
             # field-id registry: name-map each file by its write version
             return self._read_files_evolved(table, m, files, schema)
         paths = [os.path.join(self._dir(table), f) for f in files]
-        props = m.get("props", {})
+        return self._read_paths(paths, schema, m.get("props", {}), project)
+
+    def _read_paths(
+        self,
+        paths: list[str],
+        schema: StructType,
+        props: dict,
+        project: StructType | None = None,
+    ) -> DataFrame:
+        """Read data files under the declared schema, applying zero-copy
+        table props (``row_filter``/``column_map``) and an optional
+        projected schema. Prop tables read the SOURCE files (other column
+        names), so the declared schema is enforced by explicit per-column
+        casts after the name mapping rather than at scan time (the
+        row_filter may also reference source columns absent from the
+        declared schema). Casts are applied only where the
+        parquet-inferred type truly differs — nullability is erased for
+        the comparison, since Spark refuses nullable->non-null casts on
+        nested types yet the data is valid."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, MapType, StructField
+
+        want = project or schema
         if not props:
-            return self.spark.read.schema(schema).parquet(*paths)
-        # Prop tables read the SOURCE files (other column names), so the
-        # declared schema is enforced by explicit per-column casts after the
-        # name mapping rather than at scan time (the row_filter may also
-        # reference source columns absent from the declared schema). Casts
-        # are applied only where the parquet-inferred type truly differs —
-        # nullability is erased for the comparison, since Spark refuses
-        # nullable->non-null casts on nested types yet the data is valid.
-        df = self.spark.read.parquet(*paths)
+            return self.spark.read.schema(want).parquet(*paths)
+        cmap = props.get("column_map", {})
+        if project is None:
+            df = self.spark.read.parquet(*paths)
+        else:
+            # source-side pruned scan: map the projected fields to their
+            # source names/types; keep every ATOMIC source column readable
+            # so the row_filter always resolves (scalars are cheap — the
+            # pruning win is the nested payloads).
+            src_full = self.spark.read.parquet(paths[0]).schema
+            keep = {cmap.get(f.name, f.name): f.dataType for f in project.fields}
+            fields = []
+            for sf in src_full.fields:
+                if sf.name in keep:
+                    fields.append(StructField(sf.name, keep[sf.name], True))
+                elif not isinstance(sf.dataType, (ArrayType, MapType, StructType)):
+                    fields.append(sf)
+            df = self.spark.read.schema(StructType(fields)).parquet(*paths)
         if props.get("row_filter"):
             df = df.filter(props["row_filter"])
-        cmap = props.get("column_map", {})
 
         def _erase_null(dt):
             return dt.json().replace('"nullable":false', '"nullable":true').replace(
@@ -947,7 +985,7 @@ class Catalog:
 
         src_types = {f.name: f.dataType for f in df.schema.fields}
         cols = []
-        for f in schema.fields:
+        for f in want.fields:
             src = cmap.get(f.name, f.name)
             c = F.col(src)
             if _erase_null(src_types[src]) != _erase_null(f.dataType):
@@ -956,13 +994,19 @@ class Catalog:
         return df.select(*cols)
 
     def read_delta(
-        self, table: str, schema: StructType, snapshot: int
+        self,
+        table: str,
+        schema: StructType,
+        snapshot: int,
+        project: StructType | None = None,
     ) -> DataFrame:
         """INCREMENTAL scan: only the data files snapshot ``snapshot``
         ADDED (the Iceberg incremental-read / changelog analogue). Lets a
         consumer process one crawl round's appends — e.g. stream the
         crawl_order increments — without rescanning the table. Appends
-        only; an overwrite snapshot's delta is its full file set."""
+        only; an overwrite snapshot's delta is its full file set.
+        Applies zero-copy table props (row_filter/column_map) exactly
+        like ``read``; ``project`` prunes the scan the same way."""
         m = self._load_manifest(table)
         cur = [s for s in m["snapshots"] if s["id"] == snapshot]
         prev = [s for s in m["snapshots"] if s["id"] == snapshot - 1]
@@ -983,11 +1027,11 @@ class Catalog:
         prev_files = set(prev[0]["files"]) if prev else set()
         files = [f for f in cur[0]["files"] if f not in prev_files]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], project or schema)
         if m.get("schema") is not None:
             return self._read_files_evolved(table, m, files, schema)
         paths = [os.path.join(self._dir(table), f) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        return self._read_paths(paths, schema, m.get("props", {}), project)
 
     def row_count(self, table: str, snapshot: int | None = None) -> int:
         """Row count from parquet footer metadata — no Spark job (the

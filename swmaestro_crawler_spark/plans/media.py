@@ -45,6 +45,7 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -77,6 +78,8 @@ MEDIA_BLOBS = StructType(
 # distinct refs share bytes and the content-addressed dedup is exercised
 CONTENT_SPACE = 1 << 12
 
+_BLOB_MEMO: dict = {}  # (content_key, kind) -> bytes, per worker process
+
 
 def synth_media_transport(refs: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for the asset download: bytes are a pure
@@ -88,12 +91,19 @@ def synth_media_transport(refs: pd.Series) -> pd.DataFrame:
 
     from ..operators.multimodal import synth_blob
 
+    # CONTENT_SPACE bounds the distinct contents, so blob synthesis is
+    # memoized per (key, kind) — the per-ref work is just the hash. The
+    # memo is per worker process and a pure function of its key, so
+    # batching/order cannot change any byte.
+    memo: dict = _BLOB_MEMO
     keys, kinds, sizes, blobs = [], [], [], []
     for ref in refs:
         base = ref.rsplit("/", 1)[-1]
         key = int(hashlib.md5(base.encode()).hexdigest()[:12], 16) % CONTENT_SPACE
         kind = "image" if ref.endswith((".jpg", ".png", ".gif")) else "binary"
-        blob = synth_blob(key, kind)
+        blob = memo.get((key, kind))
+        if blob is None:
+            blob = memo[(key, kind)] = synth_blob(key, kind)
         keys.append(key)
         kinds.append(kind)
         sizes.append(len(blob))
@@ -109,6 +119,7 @@ class MediaSweepResult:
     refs_new: int        # refs resolved (fetched) this sweep
     blobs_new: int       # distinct new contents stored
     blobs_bytes: int     # bytes written to the blob store
+    timings: dict = None  # per-stage wall seconds (attribution)
 
 
 def _span_refs(spans: DataFrame) -> DataFrame:
@@ -133,12 +144,37 @@ def media_sweep(
     (or, with ``since_snapshot``, only in that snapshot's appended
     files) into the content-addressed store. Idempotent; commits blobs
     before refs (see module docstring)."""
-    spans = (
-        cat.read("spans", SPANS_DOC)
-        if since_snapshot is None
-        else cat.read_delta("spans", SPANS_DOC, since_snapshot)
+    import time as _time
+
+    timings: dict = {}
+    t0 = _time.perf_counter()
+    # projected read: only the (kind, media_ref) span leaves + round are
+    # decoded — never the text payload bytes (which dominate the table).
+    spans_proj = StructType(
+        [
+            StructField(
+                "spans",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("kind", StringType(), True),
+                            StructField("media_ref", StringType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+            StructField("round", IntegerType(), True),
+        ]
     )
-    refs = _span_refs(spans).repartition(ref_partitions, "media_ref")
+    spans = (
+        cat.read("spans", SPANS_DOC, project=spans_proj)
+        if since_snapshot is None
+        else cat.read_delta("spans", SPANS_DOC, since_snapshot, project=spans_proj)
+    )
+    # the groupBy inside _span_refs already hash-partitions by media_ref —
+    # no extra exchange before the fetch
+    refs = _span_refs(spans).persist()
     seen = cat.read("media_refs", MEDIA_REFS).select("media_ref")
     new_refs = refs.join(seen, "media_ref", "left_anti")
 
@@ -159,32 +195,46 @@ def media_sweep(
     fetched = new_refs.mapInPandas(fetch, out_schema)
     fetched.persist()
     try:
-        n_seen = refs.count()
+        n_seen = refs.count()  # materializes the persisted ref scan
+        timings["refs_scan"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
         n_new = fetched.count()
+        timings["fetch"] = round(_time.perf_counter() - t0, 3)
         if n_new == 0:
-            return MediaSweepResult(n_seen, 0, 0, 0)
+            return MediaSweepResult(n_seen, 0, 0, 0, timings)
         # one blob row per distinct NEW content key: smallest ref is the
-        # representative (deterministic), standing store anti-joined out
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("content_key").orderBy("media_ref")
+        # representative (deterministic). min_by is map-side combinable,
+        # so duplicate contents collapse BEFORE the shuffle — only
+        # ~|distinct contents| x cores combined rows cross the exchange,
+        # never the per-ref blob bytes (a window would shuffle them all).
+        t0 = _time.perf_counter()
         new_blobs = (
-            fetched.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            fetched.groupBy("content_key")
+            .agg(
+                F.min_by(
+                    F.struct("kind", "n_bytes", "blob"), "media_ref"
+                ).alias("r")
+            )
             .join(
                 cat.read("media_blobs", MEDIA_BLOBS).select("content_key"),
                 "content_key",
                 "left_anti",
             )
-            .select("content_key", "kind", "n_bytes", "blob")
+            .select(
+                "content_key",
+                F.col("r.kind").alias("kind"),
+                F.col("r.n_bytes").alias("n_bytes"),
+                F.col("r.blob").alias("blob"),
+            )
         )
         new_blobs.persist()
-        n_blobs = new_blobs.count()
-        total = (
-            new_blobs.agg(F.sum("n_bytes")).collect()[0][0] or 0
-            if n_blobs
-            else 0
-        )
+        st = new_blobs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("b"),
+        ).first()
+        n_blobs, total = int(st.n), int(st.b)
+        timings["blob_dedup"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
         if n_blobs:
             cat.append(
                 "media_blobs",
@@ -194,6 +244,8 @@ def media_sweep(
                 bloom_cols=["content_key"],
             )
         new_blobs.unpersist()
+        timings["blob_commit"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
         cat.append(
             "media_refs",
             fetched.select("media_ref", "content_key", "round").repartition(
@@ -201,9 +253,11 @@ def media_sweep(
             ),
             meta={"op": "media_refs"},
         )
-        return MediaSweepResult(n_seen, n_new, n_blobs, int(total))
+        timings["refs_commit"] = round(_time.perf_counter() - t0, 3)
+        return MediaSweepResult(n_seen, n_new, n_blobs, total, timings)
     finally:
         fetched.unpersist()
+        refs.unpersist()
 
 
 def media_lookup(cat: Catalog, refs: DataFrame) -> DataFrame:

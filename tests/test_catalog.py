@@ -72,3 +72,86 @@ def test_logical_digest_layout_invariant(spark, tmp_path):
     assert cat.logical_digest("c") != cat.logical_digest("a")
     # empty table sentinel
     assert cat.logical_digest("nope") == "0/0"
+
+
+def test_read_delta_applies_zero_copy_props(spark, tmp_path):
+    """read_delta on a zero-copy prop table must honor row_filter and
+    column_map exactly like read — regression: it used to read raw
+    source columns (NULL mapped fields, unfiltered rows)."""
+    from pyspark.sql.types import BooleanType, StringType
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    src = spark.createDataFrame(
+        [("u1", True, 10), ("u2", False, 11), ("u3", True, 12)],
+        "url string, ok boolean, fetch_round int",
+    )
+    s_src = cat.append("src", src)
+    cat.append_files(
+        "view",
+        "src",
+        s_src,
+        column_map={"doc_id": "url", "round": "fetch_round"},
+        row_filter="ok",
+    )
+    view_schema = StructType(
+        [
+            StructField("doc_id", StringType(), False),
+            StructField("round", LongType(), False),
+        ]
+    )
+    sid = cat.current_snapshot("view")
+    delta = cat.read_delta("view", view_schema, sid)
+    rows = {(r.doc_id, r.round) for r in delta.collect()}
+    assert rows == {("u1", 10), ("u3", 12)}  # mapped names, ok-filtered
+    full = {
+        (r.doc_id, r.round) for r in cat.read("view", view_schema).collect()
+    }
+    assert rows == full
+
+
+def test_projected_read_prunes_nested_scan(spark, cfg):
+    """read(project=...) pushes a nested-subfield subset to the parquet
+    scan: values match the full read, and the physical ReadSchema no
+    longer contains the pruned leaf (span text payloads)."""
+    from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.schema import SPANS_DOC
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    crawl = Crawl(spark, cfg)
+    crawl.run(spark.createDataFrame(make_seeds(cfg, 20)), rounds=2)
+    proj = StructType(
+        [
+            StructField(
+                "spans",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("kind", StringType(), True),
+                            StructField("media_ref", StringType(), True),
+                        ]
+                    )
+                ),
+                True,
+            ),
+            StructField("round", IntegerType(), True),
+        ]
+    )
+    pruned = crawl.cat.read("spans", SPANS_DOC, project=proj)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas and all("text" not in ln for ln in read_schemas)
+
+    full = crawl.cat.read("spans", SPANS_DOC)
+    a = sorted(
+        (r.round, tuple((s.kind, s.media_ref) for s in r.spans))
+        for r in pruned.collect()
+    )
+    b = sorted(
+        (r.round, tuple((s.kind, s.media_ref) for s in r.spans))
+        for r in full.collect()
+    )
+    assert a == b and a
