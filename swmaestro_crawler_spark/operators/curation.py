@@ -633,23 +633,32 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_analysis import _bigrams
 
     d = load(spark, sf_dir, "documents")
-    uni = d.select("doc_id", "source", F.explode(words(F.col("text"))).alias("g"))
-    bi = d.select(
-        "doc_id", "source", F.explode(_bigrams(words(F.col("text")))).alias("g")
-    )
+    ws = words(F.col("text"))
+    # ONE corpus scan and ONE regex tokenize: unigram and bigram streams
+    # are a single explode of the concatenated gram array (a union of two
+    # explodes would scan + tokenize the corpus twice)
     feats = (
-        uni.unionByName(bi)
+        d.select(
+            "doc_id", "source", F.explode(F.concat(ws, _bigrams(ws))).alias("g")
+        )
         .withColumn("b", F.pmod(word_hash(F.col("g")), F.lit(DSIR_BUCKETS)))
         .drop("g")
     )
-    # the regex tokenize + explode + md5 hash is the expensive pass; it
-    # feeds BOTH the distribution fit and the per-doc counts, so persist
-    # the compact (doc_id, source, b) stream and run it once
-    feats.persist()
+    # collapse to per-doc bucket counts BEFORE caching: the partial agg
+    # combines map-side, so neither the cache nor the shuffle ever holds
+    # the raw occurrence stream; the fit and the per-doc weights both
+    # derive from this compact table (source is functionally dependent on
+    # doc_id, so carrying it through the groupBy is free)
+    docb = feats.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    docb.persist()
     tgt = d.agg(F.min("source")).collect()[0][0]
-    per = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum((F.col("source") == tgt).cast("long")).alias("nt"),
+    per = docb.groupBy("b").agg(
+        F.sum("cb").alias("nr"),
+        F.sum(
+            F.when(F.col("source") == tgt, F.col("cb")).otherwise(F.lit(0))
+        ).alias("nt"),
     )
     per.persist()
     tot = per.agg(F.sum("nr"), F.sum("nt")).collect()[0]  # 2 bounded scalars
@@ -661,7 +670,6 @@ def q_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div ((nr + 1) * {n_tgt + DSIR_BUCKETS})"
         ).alias("s"),
     )
-    docb = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("cb"))
     return (
         docb.join(F.broadcast(score), "b")
         .groupBy("doc_id")
