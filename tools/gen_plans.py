@@ -32,6 +32,7 @@ def main() -> None:
     from swmaestro_crawler_spark.operators.dedup import (
         q_dedup_incremental,
         q_ngram_jaccard_pairs,
+        q_ppjoin_pairs as _ppjoin,
     )
     from swmaestro_crawler_spark.operators.fetch import fetch_stage
     from swmaestro_crawler_spark.operators.kmeans import (
@@ -130,6 +131,12 @@ def main() -> None:
             "Standing link-score table read (merge-on-read groupBy-sum over the append log)",
             "`operators/scoretable.py q_opic_score_table`",
             q_opic_score_table(spark, SF),
+        ),
+        (
+            "PPJoin exact similarity join (rarest-first prefix self-join -> "
+            "length filter -> integer-exact verify; no cartesian)",
+            "`operators/dedup.py q_ppjoin_pairs`",
+            _ppjoin(spark, SF),
         ),
     ]
 
