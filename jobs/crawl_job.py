@@ -62,6 +62,11 @@ def main() -> None:
                     help="after the crawl, resolve new media_refs into "
                     "the content-addressed blob store (idempotent; only "
                     "unseen refs fetch, only new content stores)")
+    ap.add_argument("--sql", default=None, metavar="QUERY",
+                    help="after the crawl, register every warehouse "
+                    "table as a temp view and print this SQL query's "
+                    "rows as JSON lines (the reference's psycopg2-SELECT "
+                    "surface)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -128,6 +133,12 @@ def main() -> None:
             "media_blobs_new": ms.blobs_new,
             "media_blob_bytes": ms.blobs_bytes,
         }))
+    if args.sql:
+        from swmaestro_crawler_spark.plans.crawl import warehouse_views
+
+        crawl.cat.register_views(warehouse_views())
+        for row in spark.sql(args.sql).toJSON().toLocalIterator():
+            print(row)
     print(json.dumps({"rounds_run": len(results), "warehouse": cfg.warehouse}))
     spark.stop()
 

@@ -1033,6 +1033,24 @@ class Catalog:
         paths = [os.path.join(self._dir(table), f) for f in files]
         return self._read_paths(paths, schema, m.get("props", {}), project)
 
+    def register_views(
+        self, views: dict[str, StructType], prefix: str = ""
+    ) -> list[str]:
+        """Register warehouse tables as session temp views so the whole
+        warehouse is queryable in plain SQL (``spark.sql``) — the surface
+        the reference's users already have against its PostgreSQL tables
+        (every consumer there is a psycopg2 SELECT,
+        sendToRabbitMQ.py:28-39, Selenium/YouTube_Crawler.py:523). Each view pins the table's CURRENT
+        snapshot at registration time (a consistent read set across a
+        multi-statement SQL session); re-register to see later commits.
+        Empty tables register as empty relations with the declared
+        schema, so SQL over a fresh warehouse parses and runs."""
+        out = []
+        for name, schema in views.items():
+            self.read(name, schema).createOrReplaceTempView(prefix + name)
+            out.append(prefix + name)
+        return out
+
     def row_count(self, table: str, snapshot: int | None = None) -> int:
         """Row count from parquet footer metadata — no Spark job (the
         Iceberg analogue reads it from manifest stats). PRE-filter for

@@ -53,6 +53,42 @@ TABLES = (
 )
 
 
+def warehouse_views() -> dict:
+    """table -> declared schema for every standard warehouse table: the
+    registry behind ``Catalog.register_views`` — the engine's plain-SQL
+    query surface over a crawl warehouse (the reference's consumers are
+    all psycopg2 SELECTs over its PostgreSQL tables)."""
+    from ..operators.fetch import FETCHED
+    from ..operators.scoretable import SCORES
+    from ..schema import (
+        CRAWL_ORDER,
+        DEAD,
+        HOST_STATS,
+        LINEAGE,
+        METRICS,
+        OBSERVATIONS,
+        SPANS_DOC,
+    )
+    from .media import MEDIA_BLOBS, MEDIA_REFS
+
+    return {
+        "pending": FRONTIER,
+        "seen": SEEN,
+        "spans": SPANS_DOC,
+        "dead": DEAD,
+        "crawl_order": CRAWL_ORDER,
+        "metrics": METRICS,
+        "robots": ROBOTS,
+        "fetched": FETCHED,
+        "lineage": LINEAGE,
+        "link_scores": SCORES,
+        "host_stats": HOST_STATS,
+        "observations": OBSERVATIONS,
+        "media_refs": MEDIA_REFS,
+        "media_blobs": MEDIA_BLOBS,
+    }
+
+
 def seeds_to_frontier(seeds: DataFrame) -> DataFrame:
     """Seed rows -> round-0 frontier. Priority within a host follows seed
     rank (Utils/Nox_Crawler.py:98-113: top-500 rank orders)."""
