@@ -269,3 +269,75 @@ def media_lookup(cat: Catalog, refs: DataFrame) -> DataFrame:
     return refs.join(m, "media_ref").join(b, "content_key").select(
         "media_ref", "content_key", "kind", "n_bytes", "blob"
     )
+
+def export_interleaved(cat: Catalog) -> DataFrame:
+    """Assemble the interleaved text+media TRAINING SAMPLES: one row per
+    document, spans in offset order with each media span's BYTES inlined
+    from the content-addressed store —
+
+      (doc_id, round, n_spans, n_media,
+       sample: array<struct<offset, kind, text, blob>>)
+
+    — the read path a multimodal trainer consumes (text spans carry
+    their text, media spans carry the resolved blob; a media span whose
+    reference was never swept has a NULL blob so a partial sweep is
+    visible, not silently dropped).
+
+    Scale shape: spans explode to (doc_id, span) rows; ONLY the media
+    rows (a small fraction) join the ref mapping and the blob store
+    (both hash joins on media_ref / content_key — the blob store side is
+    one row per distinct content); the reassembly is a single
+    groupBy(doc_id) with an array_sort(collect_list) whose input is
+    exactly the document's own spans — no window, no global sort."""
+    spans = cat.read("spans", SPANS_DOC)
+    ex = spans.select(
+        "doc_id",
+        "round",
+        F.posexplode("spans").alias("pos", "s"),
+    ).select(
+        "doc_id",
+        "round",
+        "pos",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+    media = ex.filter(F.col("kind") == "media").filter(F.col("media_ref") != "")
+    text = ex.filter(~((F.col("kind") == "media") & (F.col("media_ref") != "")))
+    refs = cat.read("media_refs", MEDIA_REFS).select("media_ref", "content_key")
+    blobs = cat.read("media_blobs", MEDIA_BLOBS).select("content_key", "blob")
+    resolved = (
+        media.join(refs, "media_ref", "left")
+        .join(blobs, "content_key", "left")
+        .select("doc_id", "round", "pos", "kind", "text", "offset", "blob")
+    )
+    both = text.select(
+        "doc_id", "round", "pos", "kind", "text", "offset",
+        F.lit(None).cast(BinaryType()).alias("blob"),
+    ).unionByName(resolved)
+    return (
+        both.groupBy("doc_id", "round")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "offset", "kind", "text", "blob"))
+            ).alias("sample"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("kind") == "media").cast("long")).alias("n_media"),
+        )
+        .select(
+            "doc_id",
+            "round",
+            "n_spans",
+            "n_media",
+            F.transform(
+                "sample",
+                lambda s: F.struct(
+                    s["offset"].alias("offset"),
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["blob"].alias("blob"),
+                ),
+            ).alias("sample"),
+        )
+    )

@@ -165,3 +165,62 @@ def test_media_lookup_roundtrip(spark, tmp_path):
         key = int(hashlib.md5(base.encode()).hexdigest()[:12], 16) % CONTENT_SPACE
         assert r.content_key == key
         assert bytes(r.blob) == synth_blob(key, "image")
+
+
+def test_export_interleaved_samples(spark, cfg):
+    """One row per document; spans in original order; media spans carry
+    the exact blob bytes the store holds; unswept refs -> NULL blob."""
+    from swmaestro_crawler_spark.plans.media import (
+        export_interleaved,
+        media_sweep,
+        synth_media_transport,
+    )
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    c = Crawl(spark, cfg)
+    c.run(spark.createDataFrame(make_seeds(cfg, 25)), rounds=2)
+    media_sweep(spark, c.cat)
+    out = {r.doc_id: r for r in export_interleaved(c.cat).collect()}
+    docs = {
+        r.doc_id: r
+        for r in c.cat.read("spans", SPANS_DOC).collect()
+    }
+    assert set(out) == set(docs)
+    checked_media = 0
+    import pandas as pd
+
+    for doc_id, row in out.items():
+        orig = docs[doc_id].spans
+        assert row.n_spans == len(orig)
+        got = row.sample
+        assert [(s.kind, s.text) for s in got] == [
+            (s.kind, s.text) for s in orig
+        ]  # original span order preserved
+        for g, o in zip(got, orig):
+            if o.kind == "media" and o.media_ref:
+                expect = synth_media_transport(pd.Series([o.media_ref]))
+                assert bytes(g.blob) == bytes(expect["blob"][0])
+                checked_media += 1
+            else:
+                assert g.blob is None
+    assert checked_media > 0, "corpus must contain media spans"
+
+
+def test_export_interleaved_unswept_refs_null_not_dropped(spark, cfg):
+    from swmaestro_crawler_spark.plans.crawl import Crawl
+    from swmaestro_crawler_spark.plans.media import export_interleaved
+    from swmaestro_crawler_spark.sources.synth_web import make_seeds
+
+    c = Crawl(spark, cfg)
+    c.run(spark.createDataFrame(make_seeds(cfg, 10)), rounds=1)
+    # NO sweep ran: every media span must still appear, blob NULL
+    from pyspark.sql import functions as F
+
+    out = export_interleaved(c.cat)
+    media = out.select(F.explode("sample").alias("s")).filter(
+        F.col("s.kind") == "media"
+    )
+    n = media.count()
+    assert n > 0
+    assert media.filter(F.col("s.blob").isNotNull()).count() == 0
