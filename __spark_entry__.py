@@ -114,6 +114,7 @@ _NEVER_CHECKED_FIRST = (
     "label_propagation_communities",
     "scd2_dimension",
     "dedup_ppjoin_pairs",
+    "batch_sessionize",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

@@ -269,6 +269,64 @@ SELECT event_id, user_id, gap_us FROM (
 
 
 # ---------------------------------------------------------------------------
+# BATCH sessionization (the offline twin of the streaming
+# applyInPandasWithState sessionizer): gap > 30 min opens a new session;
+# session id = running count of opens per user. Both windows are
+# user-partitioned — ONE hash shuffle on user_id, per-user sorts inside
+# partitions, no global sort; the closing aggregate reuses the same
+# partitioning. Microsecond-integer epochs keep the twin bit-exact.
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    opens = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        epoch.alias("ep"),
+        F.sum(opens).over(run).alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ep").alias("session_start_us"),
+        F.max("ep").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_BATCH_SESSIONIZE = f"""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ep,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS opens
+  FROM events),
+numbered AS (
+  SELECT user_id, ep,
+         CAST(sum(opens) OVER (PARTITION BY user_id
+              ORDER BY ep ASC, event_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM marked)
+SELECT user_id, session_seq,
+       CAST(min(ep) AS BIGINT) AS session_start_us,
+       CAST(max(ep) AS BIGINT) AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
 # F5/F8/F10/F13/F14 — scalar surgery: comma-grouped int parse
 # (New_YouTube_Crawler_Comment.py:93-118), date diff arithmetic
 # (New_YouTube_Crawler.py:249-262), truncation
@@ -1229,6 +1287,7 @@ QUERIES = {
     "top5_orders_per_priority": (q_top5_orders_per_priority, SQL_TOP5_ORDERS_PER_PRIORITY),
     "daily_event_metrics": (q_daily_event_metrics, SQL_DAILY_EVENT_METRICS),
     "user_event_gaps_window": (q_user_event_gaps, SQL_USER_EVENT_GAPS),
+    "batch_sessionize": (q_batch_sessionize, SQL_BATCH_SESSIONIZE),
     "scalar_surgery": (q_scalar_surgery, SQL_SCALAR_SURGERY),
     "datetime_surgery": (q_datetime_surgery, SQL_DATETIME_SURGERY),
     "json_extract_agg": (q_json_extract, SQL_JSON_EXTRACT),

@@ -287,3 +287,15 @@ def test_range_join_is_banded_equi_join(spark):
     plan = plan_of(q_range_join_time_band(spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_batch_sessionize_user_partitioned_single_shuffle(spark):
+    """Sessionization windows and the closing aggregate all share the
+    user_id hash partitioning: exactly one exchange, never a global
+    sort/single partition."""
+    from swmaestro_crawler_spark.operators.relational import q_batch_sessionize
+
+    plan = plan_of(q_batch_sessionize(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
