@@ -115,6 +115,7 @@ _NEVER_CHECKED_FIRST = (
     "scd2_dimension",
     "dedup_ppjoin_pairs",
     "batch_sessionize",
+    "pps_systematic_sample",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

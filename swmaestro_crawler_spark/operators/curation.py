@@ -718,6 +718,80 @@ FROM w ORDER BY avg_imp DESC, doc_id ASC LIMIT {DSIR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Systematic PPS (probability-proportional-to-size) sampling
+# (Madow 1949): k equally-spaced pick points over the cumulative weight
+# line; each document receives as many picks as land inside its weight
+# interval — heavy docs can be picked multiple times (the classic PPS
+# multiplicity), light docs proportionally rarely, and the draw is a
+# pure function of the corpus (no RNG). Pick points are
+# p_j = floor(total*(2j+1) / 2k); the per-doc pick count has the closed
+# form f(ca) - f(cb) with f(x) = clamp(ceil((2k*x - total) / 2*total)),
+# so no join against a pick table is needed. The cumulative line comes
+# from grouped_prefix_sum (range-partitioned two-phase prefix sum,
+# driver state = n_parts totals) — no single-reducer window anywhere.
+# All arithmetic is int64 (bound: 2k * total < 2^63), so DuckDB replays
+# the draw bit-identically from its own window cumsum.
+# ---------------------------------------------------------------------------
+PPS_K = 500
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .packing import grouped_prefix_sum
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        .withColumn("_g", F.lit(0))
+    )
+    total = int(d.agg(F.sum("w")).first()[0])
+    k = PPS_K
+    running, handle = grouped_prefix_sum(
+        d, "_g", ["doc_id"], "w", 16, out_col="ca"
+    )
+
+    def f(col: str) -> str:
+        # SQL-text twin of the oracle's pick-count closed form (integer
+        # div end to end — no doubles anywhere)
+        return (
+            f"least(greatest(CASE WHEN {2 * k} * {col} - {total} <= 0 "
+            f"THEN 0 ELSE ({2 * k} * {col} - {total} + {2 * total - 1}) "
+            f"div {2 * total} END, 0), {k})"
+        )
+
+    picked = (
+        running.withColumn("cb", F.col("ca") - F.col("w"))
+        .withColumn("n_picks", F.expr(f"{f('ca')} - {f('cb')}").cast("long"))
+        .filter(F.col("n_picks") > 0)
+        .select("doc_id", "w", "n_picks")
+    )
+    return picked
+
+
+SQL_PPS_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ca
+  FROM documents),
+t AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents),
+p AS (
+  SELECT doc_id, w, ca, ca - w AS cb, total FROM w, t),
+n AS (
+  SELECT doc_id, w,
+         least(greatest(CASE WHEN {2 * PPS_K} * ca - total <= 0 THEN 0
+               ELSE ({2 * PPS_K} * ca - total + 2 * total - 1) // (2 * total)
+               END, 0), {PPS_K})
+         - least(greatest(CASE WHEN {2 * PPS_K} * cb - total <= 0 THEN 0
+               ELSE ({2 * PPS_K} * cb - total + 2 * total - 1) // (2 * total)
+               END, 0), {PPS_K}) AS n_picks
+  FROM p)
+SELECT doc_id, w, CAST(n_picks AS BIGINT) AS n_picks
+FROM n WHERE n_picks > 0
+"""
+
+
 QUERIES = {
     "decontam_benchmark_overlap": (q_decontaminate, SQL_DECONTAMINATE),
     "dupspan_ngram_windows": (q_dupspan, SQL_DUPSPAN),
@@ -728,4 +802,5 @@ QUERIES = {
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "host_reputation": (q_host_reputation, SQL_HOST_REPUTATION),
     "dsir_importance_topk": (q_dsir_topk, SQL_DSIR_TOPK),
+    "pps_systematic_sample": (q_pps_sample, SQL_PPS_SAMPLE),
 }

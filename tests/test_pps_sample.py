@@ -1,0 +1,34 @@
+"""Systematic PPS sampling: exactly K picks, multiplicity proportional
+to weight, deterministic, no single-reducer stage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from swmaestro_crawler_spark.operators.curation import PPS_K, q_pps_sample
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_pps_exactly_k_picks_and_weight_proportionality(spark):
+    out = q_pps_sample(spark, SF_DIR).collect()
+    assert sum(r.n_picks for r in out) == PPS_K
+    # multiplicity tracks weight: every doc's pick count is within 1 of
+    # the ideal w * K / total (the systematic-sampling guarantee)
+    from swmaestro_crawler_spark.sources.testdata import load
+
+    total = load(spark, SF_DIR, "documents").agg(F.sum("n_chars")).first()[0]
+    for r in out:
+        ideal = r.w * PPS_K / total
+        assert abs(r.n_picks - ideal) <= 1.0
+
+
+def test_pps_deterministic_across_parallelism(spark):
+    a = sorted(map(tuple, q_pps_sample(spark, SF_DIR).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, q_pps_sample(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
