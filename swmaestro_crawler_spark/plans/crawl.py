@@ -159,6 +159,30 @@ class Crawl:
         with open(self._ckpt_path) as f:
             return json.load(f)
 
+    def register_consistent_views(self, prefix: str = "") -> dict[str, int]:
+        """SQL views over the last CHECKPOINTED round's per-table snapshot
+        ids — a cross-table-consistent read of the warehouse. The plain
+        ``Catalog.register_views`` pins each table independently at call
+        time, which can tear across the concurrently-committing deferred
+        bookkeeping of the next round (e.g. spans already shows round
+        r+1 while crawl_order still shows r); the checkpoint's sids were
+        captured atomically AS OF one round, so views registered from
+        them always agree. Returns the pinned {table: snapshot} map."""
+        ckpt = self._load_checkpoint()
+        if ckpt is None:
+            raise RuntimeError(
+                "no checkpoint yet — bootstrap or run the crawl first"
+            )
+        views = warehouse_views()
+        pinned: dict[str, int] = {}
+        for t, sid in ckpt["snapshots"].items():
+            if t in views:
+                self.cat.read(t, views[t], snapshot=sid).createOrReplaceTempView(
+                    prefix + t
+                )
+                pinned[t] = sid
+        return pinned
+
     # -- lifecycle -------------------------------------------------------------
     def bootstrap(
         self,

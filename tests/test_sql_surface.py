@@ -68,3 +68,31 @@ def test_sql_views_pin_registration_snapshot(spark, cfg):
     c.cat.register_views(warehouse_views(), prefix="v2_")
     after = spark.sql("SELECT count(*) AS n FROM v2_crawl_order").first().n
     assert after > before
+
+
+def test_consistent_views_pin_checkpointed_round(spark, cfg):
+    """register_consistent_views reads the checkpoint's atomically
+    captured snapshot set — later commits (simulating the next round's
+    in-flight bookkeeping) stay invisible, where plain register_views
+    would tear."""
+    c = _crawl(spark, cfg, rounds=2)
+    pinned = c.register_consistent_views(prefix="ck_")
+    n_before = spark.sql("SELECT count(*) AS n FROM ck_crawl_order").first().n
+    assert n_before > 0 and pinned["crawl_order"] >= 0
+
+    # an out-of-band append lands AFTER the checkpoint (torn state)
+    extra = c.cat.read("crawl_order", CRAWL_ORDER).limit(5)
+    c.cat.append("crawl_order", extra)
+
+    # plain per-table registration sees the new commit...
+    c.cat.register_views(warehouse_views(), prefix="now_")
+    assert (
+        spark.sql("SELECT count(*) AS n FROM now_crawl_order").first().n
+        == n_before + 5
+    )
+    # ...the checkpoint-consistent view does not
+    c.register_consistent_views(prefix="ck2_")
+    assert (
+        spark.sql("SELECT count(*) AS n FROM ck2_crawl_order").first().n
+        == n_before
+    )
