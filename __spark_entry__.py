@@ -116,6 +116,7 @@ _NEVER_CHECKED_FIRST = (
     "dedup_ppjoin_pairs",
     "batch_sessionize",
     "pps_systematic_sample",
+    "quantile_sketch",
     "dsir_importance_topk",
     "pq_codes",
     "pq_adc_topk",

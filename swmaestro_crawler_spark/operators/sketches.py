@@ -386,6 +386,114 @@ FROM per
 """
 
 
+# --- sampled quantile sketch ----------------------------------------------
+# The 4th classic synopsis next to HLL/KMV/count-min: per-group quantile
+# estimates from a CONSTANT-size uniform row sample. The sample is the
+# bottom-QSK_K rows by md5(row key) — deterministic (no RNG), mergeable
+# (union two groups' samples and re-take the bottom K — same property
+# KMV exploits), and uniform because the hash is uniform. Estimated
+# quantile = the ceil(q*n/100)-th smallest sampled value (percentile_disc
+# rank math, all-integer); the exact full-group quantile rides along as
+# the error disclosure (drop it at 100 TB — the sketch side shuffles only
+# (grp, h, v) for the K winners per group-partition after the window,
+# never the corpus).
+QSK_K = 256
+QSK_QS = (25, 50, 75, 90)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rows = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) AS h",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
+    )
+    samp = (
+        rows.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+        )
+        .filter(F.col("rn") <= QSK_K)
+        .drop("rn")
+    )
+    vw = Window.partitionBy("grp").orderBy("v", "h")
+    ranked = samp.select(
+        "grp", "v", F.row_number().over(vw).alias("vr")
+    ).withColumn("ns", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    est = (
+        ranked.select(
+            "grp",
+            "ns",
+            *[
+                F.when(
+                    F.col("vr") == F.expr(f"({q} * ns + 99) div 100"), F.col("v")
+                ).alias(f"e{q}")
+                for q in QSK_QS
+            ],
+        )
+        .groupBy("grp", "ns")
+        .agg(*[F.max(f"e{q}").alias(f"p{q}_est") for q in QSK_QS])
+    )
+    # exact full-group quantiles (error disclosure; same rank math)
+    fw = Window.partitionBy("grp").orderBy("v", "h")
+    full = rows.select(
+        "grp", "v", F.row_number().over(fw).alias("vr")
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    exact = (
+        full.select(
+            "grp",
+            "n",
+            F.when(
+                F.col("vr") == F.expr("(50 * n + 99) div 100"), F.col("v")
+            ).alias("e50"),
+        )
+        .groupBy("grp", "n")
+        .agg(F.max("e50").alias("p50_exact"))
+    )
+    return est.join(exact, "grp").select(
+        "grp",
+        F.col("n").alias("n_rows"),
+        F.col("ns").alias("sample_n"),
+        *[f"p{q}_est" for q in QSK_QS],
+        "p50_exact",
+    )
+
+
+SQL_QUANTILE_SKETCH = f"""
+WITH rows_ AS (
+  SELECT o_orderpriority AS grp,
+         ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM orders),
+samp AS (
+  SELECT grp, h, v FROM (
+    SELECT grp, h, v,
+           row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM rows_) WHERE rn <= {QSK_K}),
+ranked AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, h) AS vr,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ns
+  FROM samp),
+est AS (
+  SELECT grp, ns,
+         {", ".join(f"max(CASE WHEN vr = ({q} * ns + 99) // 100 THEN v END) AS p{q}_est" for q in QSK_QS)}
+  FROM ranked GROUP BY grp, ns),
+franked AS (
+  SELECT grp, v,
+         row_number() OVER (PARTITION BY grp ORDER BY v, h) AS vr,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM rows_),
+ex AS (
+  SELECT grp, n, max(CASE WHEN vr = (50 * n + 99) // 100 THEN v END) AS p50_exact
+  FROM franked GROUP BY grp, n)
+SELECT est.grp, n AS n_rows, ns AS sample_n,
+       {", ".join(f"p{q}_est" for q in QSK_QS)}, p50_exact
+FROM est JOIN ex ON est.grp = ex.grp
+"""
+
+
 QUERIES = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
@@ -394,4 +502,5 @@ QUERIES = {
         q_countmin_heavy_hitters,
         SQL_COUNTMIN_HEAVY_HITTERS,
     ),
+    "quantile_sketch": (q_quantile_sketch, SQL_QUANTILE_SKETCH),
 }

@@ -32,3 +32,19 @@ def test_pps_deterministic_across_parallelism(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_quantile_sketch_estimates_track_exact(spark):
+    """Sampled quantile estimates stay within a few percent of the exact
+    full-group quantiles (K=256 uniform sample), and the median estimate
+    brackets the exact median's neighborhood."""
+    from swmaestro_crawler_spark.operators.sketches import q_quantile_sketch
+
+    rows = q_quantile_sketch(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.sample_n <= 256 and r.n_rows >= r.sample_n
+        assert r.p25_est <= r.p50_est <= r.p75_est <= r.p90_est
+        # sampling error bound: ~1/sqrt(K) relative rank error -> the
+        # value estimate should be within 25% of exact for this data
+        assert abs(r.p50_est - r.p50_exact) / r.p50_exact < 0.25
