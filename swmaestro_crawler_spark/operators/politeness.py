@@ -39,16 +39,18 @@ def priority_order():
     return [F.col("depth").desc(), F.col("seq").asc(), F.col("url_hash").asc()]
 
 
-def synth_robots(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+def synth_robots(spark: SparkSession, cfg: CrawlConfig, epoch: int = 0) -> DataFrame:
     """ROBOTS dimension from RAW robots.txt bodies through the vectorized
     parser (functions/robots.py) — the end-to-end path a real crawl runs
     (fetch robots.txt like any page, parse, schedule). The sequential
     oracle consumes the structured robots_for_host directly, so the
-    crawl-equality tests double as render→parse round-trip checks."""
+    crawl-equality tests double as render→parse round-trip checks.
+    ``epoch`` selects the TTL-revalidation policy generation
+    (synth_web.robots_for_host; 0 = the bootstrap policy)."""
     from ..functions.robots import robots_table_from_bodies
 
     rows = [
-        (h, synth_web.robots_txt_for_host(h, cfg))
+        (h, synth_web.robots_txt_for_host(h, cfg, epoch))
         for h in synth_web.hosts(cfg.synth_n_hosts)
     ]
     bodies = spark.createDataFrame(rows, "host string, body string")

@@ -346,6 +346,11 @@ class Crawl:
         rounds = rounds if rounds is not None else self.cfg.max_rounds
         start, bloom, cuckoo = self.resume_or_bootstrap(seeds)
         robots = self.cat.read("robots", ROBOTS)
+        # robots TTL revalidation epoch currently in the table: 0 for a
+        # fresh bootstrap; unknown after a resume (-1 forces the first
+        # loop pass to re-fetch — idempotent, the bodies are a pure
+        # function of (host, epoch), and the dimension is tiny)
+        robots_epoch = 0 if start == 0 else -1
 
         def _finish(h) -> RoundResult:
             res = finish_round(self.cat, h)
@@ -359,6 +364,23 @@ class Crawl:
                     break  # frontier drained — reference: queue len == 0
                     # (footer stats; pending was committed by the prior
                     # round's CRITICAL phase, so no wait is needed)
+                if self.cfg.robots_ttl_rounds:
+                    epoch = r // self.cfg.robots_ttl_rounds
+                    if epoch != robots_epoch:
+                        # TTL expired: re-fetch + re-parse every host's
+                        # robots.txt (the same body->parse chain as the
+                        # bootstrap) and overwrite the dimension — the
+                        # new rules/delays bind from THIS round on
+                        from ..operators.politeness import synth_robots
+
+                        self.cat.overwrite(
+                            "robots",
+                            synth_robots(self.spark, self.cfg, epoch)
+                            .repartition(1)
+                            .sortWithinPartitions("host"),
+                        )
+                        robots = self.cat.read("robots", ROBOTS)
+                        robots_epoch = epoch
                 h = run_round_critical(
                     self.spark, self.cat, self.cfg, r, robots, bloom, cuckoo
                 )

@@ -25,16 +25,32 @@ Crash safety: blobs commit BEFORE refs. A crash between the commits
 leaves orphan blobs (harmless; the re-run's ref sweep re-resolves and
 the blob anti-join skips them) — never a ref without its bytes.
 
-Scale shape: references shuffle once as strings (distinct + anti-join,
-both hash-partitioned on the ref); fetched bytes cross exactly one
-exchange — the content_key hash partition that collapses duplicate
-content (inherent: the hash is only known after the download); the
-store-side anti-join is key-only. Fetch is an Arrow-batched
-``mapInPandas`` (one batch = many blobs; no per-row Python dispatch),
-same transport-seam pattern as operators/fetch.py — the synthetic
-transport derives bytes deterministically from the reference so the
-engine is testable hermetically, and content collisions are real
-(CONTENT_SPACE < #refs), so the dedup path is genuinely exercised.
+Scale shape — probe-then-fetch (default): resolving a reference to its
+content fingerprint is cheap (an ETag/Content-MD5 HEAD probe, a CDX
+index lookup, or — as here — a hash the transport can compute without
+the body), while the body bytes are the expensive part. So the sweep
+runs two phases: (1) PROBE every new reference to (content_key, kind) —
+only strings and int64 keys ever move; (2) pick ONE representative
+reference per not-yet-stored content (min media_ref — map-side
+combinable agg, so only ~|distinct contents| rows cross the exchange)
+and FETCH bytes for those representatives only. At 100 TB this is the
+difference between downloading the corpus's reference count and its
+distinct-content count (the web reuses the same thumbnail under many
+URLs); blob bytes never appear on any corpus-sized path. The probe's
+fingerprint is verified against the fetched content (mismatch raises —
+a lying probe cannot corrupt the store). ``probe=None`` falls back to
+the single-phase fetch-everything path for transports that cannot
+fingerprint without downloading; both paths produce identical tables
+(pinned by tests).
+
+References shuffle once as strings (distinct + anti-join, both
+hash-partitioned on the ref); the store-side anti-join is key-only.
+Probe and fetch are Arrow-batched ``mapInPandas`` (one batch = many
+refs; no per-row Python dispatch), same transport-seam pattern as
+operators/fetch.py — the synthetic transport derives bytes
+deterministically from the reference so the engine is testable
+hermetically, and content collisions are real (CONTENT_SPACE < #refs),
+so the dedup path is genuinely exercised.
 """
 
 from __future__ import annotations
@@ -81,14 +97,28 @@ CONTENT_SPACE = 1 << 12
 _BLOB_MEMO: dict = {}  # (content_key, kind) -> bytes, per worker process
 
 
+def synth_media_probe(refs: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in for the content-fingerprint probe (an
+    ETag/Content-MD5 HEAD request or CDX-index lookup on the real web):
+    maps each reference to (content_key, kind) WITHOUT touching the body
+    bytes. Pure function of the reference, aligned with ``refs``."""
+    import hashlib
+
+    keys, kinds = [], []
+    for ref in refs:
+        base = ref.rsplit("/", 1)[-1]
+        key = int(hashlib.md5(base.encode()).hexdigest()[:12], 16) % CONTENT_SPACE
+        keys.append(key)
+        kinds.append("image" if ref.endswith((".jpg", ".png", ".gif")) else "binary")
+    return pd.DataFrame({"content_key": keys, "kind": kinds})
+
+
 def synth_media_transport(refs: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for the asset download: bytes are a pure
     function of the reference's basename hash, so two refs whose hashes
     collide in CONTENT_SPACE carry byte-identical blobs (as reused
     thumbnails do on the real web). Returns (content_key, kind,
     n_bytes, blob) aligned with ``refs``."""
-    import hashlib
-
     from ..operators.multimodal import synth_blob
 
     # CONTENT_SPACE bounds the distinct contents, so blob synthesis is
@@ -96,16 +126,13 @@ def synth_media_transport(refs: pd.Series) -> pd.DataFrame:
     # memo is per worker process and a pure function of its key, so
     # batching/order cannot change any byte.
     memo: dict = _BLOB_MEMO
-    keys, kinds, sizes, blobs = [], [], [], []
-    for ref in refs:
-        base = ref.rsplit("/", 1)[-1]
-        key = int(hashlib.md5(base.encode()).hexdigest()[:12], 16) % CONTENT_SPACE
-        kind = "image" if ref.endswith((".jpg", ".png", ".gif")) else "binary"
+    probed = synth_media_probe(refs)
+    keys, kinds = list(probed["content_key"]), list(probed["kind"])
+    sizes, blobs = [], []
+    for key, kind in zip(keys, kinds):
         blob = memo.get((key, kind))
         if blob is None:
             blob = memo[(key, kind)] = synth_blob(key, kind)
-        keys.append(key)
-        kinds.append(kind)
         sizes.append(len(blob))
         blobs.append(blob)
     return pd.DataFrame(
@@ -139,11 +166,17 @@ def media_sweep(
     since_snapshot: int | None = None,
     transport: Callable[[pd.Series], pd.DataFrame] = synth_media_transport,
     ref_partitions: int = 16,
+    probe: Callable[[pd.Series], pd.DataFrame] | None = synth_media_probe,
 ) -> MediaSweepResult:
     """Resolve every not-yet-seen media reference in the spans table
     (or, with ``since_snapshot``, only in that snapshot's appended
     files) into the content-addressed store. Idempotent; commits blobs
-    before refs (see module docstring)."""
+    before refs (see module docstring).
+
+    With ``probe`` (default): two-phase probe-then-fetch — fingerprints
+    for every new ref, body bytes only for one representative ref per
+    not-yet-stored content. ``probe=None``: single-phase, ``transport``
+    downloads every new ref. Identical output tables either way."""
     import time as _time
 
     timings: dict = {}
@@ -177,6 +210,11 @@ def media_sweep(
     refs = _span_refs(spans).persist()
     seen = cat.read("media_refs", MEDIA_REFS).select("media_ref")
     new_refs = refs.join(seen, "media_ref", "left_anti")
+
+    if probe is not None:
+        return _sweep_probe(
+            cat, refs, new_refs, probe, transport, ref_partitions, timings, t0
+        )
 
     out_schema = StructType(
         [StructField("media_ref", StringType(), False), StructField("round", IntegerType(), False)]
@@ -257,6 +295,114 @@ def media_sweep(
         return MediaSweepResult(n_seen, n_new, n_blobs, total, timings)
     finally:
         fetched.unpersist()
+        refs.unpersist()
+
+
+def _sweep_probe(
+    cat: Catalog,
+    refs: DataFrame,
+    new_refs: DataFrame,
+    probe: Callable[[pd.Series], pd.DataFrame],
+    transport: Callable[[pd.Series], pd.DataFrame],
+    ref_partitions: int,
+    timings: dict,
+    t0: float,
+) -> MediaSweepResult:
+    """Probe-then-fetch sweep body (see module docstring): fingerprint
+    every new reference, download bytes only for one representative per
+    not-yet-stored content key."""
+    import time as _time
+
+    probed_schema = StructType(
+        [
+            StructField("media_ref", StringType(), False),
+            StructField("round", IntegerType(), False),
+            StructField("content_key", LongType(), False),
+            StructField("kind", StringType(), False),
+        ]
+    )
+
+    def probe_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            got = probe(b["media_ref"])
+            got.insert(0, "round", b["round"].to_numpy())
+            got.insert(0, "media_ref", b["media_ref"].to_numpy())
+            yield got
+
+    probed = new_refs.mapInPandas(probe_fn, probed_schema).persist()
+    try:
+        n_seen = refs.count()  # materializes the persisted ref scan
+        timings["refs_scan"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        n_new = probed.count()
+        timings["probe"] = round(_time.perf_counter() - t0, 3)
+        if n_new == 0:
+            return MediaSweepResult(n_seen, 0, 0, 0, timings)
+        t0 = _time.perf_counter()
+        # one representative ref per NEW content key: min media_ref
+        # (deterministic, same keeper rule as the single-phase path's
+        # min_by). The agg is map-side combinable — only
+        # ~|distinct contents| x cores (key, ref) string rows cross the
+        # exchange; body bytes exist only AFTER this collapse.
+        reps = (
+            probed.groupBy("content_key")
+            .agg(F.min(F.struct("media_ref", "kind")).alias("r"))
+            .join(
+                cat.read("media_blobs", MEDIA_BLOBS).select("content_key"),
+                "content_key",
+                "left_anti",
+            )
+            .select("content_key", F.col("r.media_ref").alias("media_ref"))
+        )
+
+        def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                if not len(b):
+                    continue
+                got = transport(b["media_ref"])
+                # the probe's fingerprint must match the downloaded
+                # content — a stale/lying probe fails loudly instead of
+                # storing bytes under the wrong address
+                if not (
+                    got["content_key"].to_numpy() == b["content_key"].to_numpy()
+                ).all():
+                    raise ValueError(
+                        "media probe fingerprint does not match fetched content"
+                    )
+                yield got
+
+        new_blobs = reps.mapInPandas(fetch_fn, MEDIA_BLOBS).persist()
+        st = new_blobs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).alias("b"),
+        ).first()
+        n_blobs, total = int(st.n), int(st.b)
+        timings["rep_fetch"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        if n_blobs:
+            cat.append(
+                "media_blobs",
+                new_blobs.repartition(ref_partitions, "content_key"),
+                meta={"op": "media_blobs"},
+                stat_cols=["content_key"],
+                bloom_cols=["content_key"],
+            )
+        new_blobs.unpersist()
+        timings["blob_commit"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
+        cat.append(
+            "media_refs",
+            probed.select("media_ref", "content_key", "round").repartition(
+                ref_partitions, "media_ref"
+            ),
+            meta={"op": "media_refs"},
+        )
+        timings["refs_commit"] = round(_time.perf_counter() - t0, 3)
+        return MediaSweepResult(n_seen, n_new, n_blobs, total, timings)
+    finally:
+        probed.unpersist()
         refs.unpersist()
 
 

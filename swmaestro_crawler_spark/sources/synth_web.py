@@ -536,15 +536,29 @@ def _new_path(rng: np.random.Generator, prefix: str = "/ch/") -> str:
     return f"{prefix}{rng.integers(0, 1 << 48):012x}"
 
 
-def robots_for_host(host: str, cfg: CrawlConfig) -> dict:
+def robots_for_host(host: str, cfg: CrawlConfig, epoch: int = 0) -> dict:
     """Deterministic robots entry: crawl-delay drawn from the reference's
     own constants {0.2, 1.0, 6.0} (New_YouTube_Crawler.py:93 /
-    New_YouTube_Crawler_Comment.py:443-448) and occasional disallows."""
+    New_YouTube_Crawler_Comment.py:443-448) and occasional disallows.
+
+    ``epoch`` models POLICY DRIFT for TTL revalidation
+    (cfg.robots_ttl_rounds): epoch 0 is byte-identical to the historic
+    policy (the default path never changes a digest); at epoch > 0 some
+    hosts tighten a /w/ hex shard (a disallow that actually bites — the
+    watch-page space) and some re-draw their crawl-delay, each a pure
+    function of (host, epoch) so engine and oracle re-derive the same
+    rules independently."""
     rng = _rng("robots", host)
     delay = [0.2, 1.0, 6.0][int(rng.integers(0, 3))]
     disallow = []
     if rng.random() < 0.25:
         disallow.append(f"/p/{rng.integers(0, 16):01x}")  # one hex-prefix shard blocked
+    if epoch > 0:
+        r2 = _rng("robots-epoch", host, str(epoch))
+        if r2.random() < 0.3:
+            disallow.append(f"/w/{r2.integers(0, 16):01x}")
+        if r2.random() < 0.3:
+            delay = [0.2, 1.0, 6.0][int(r2.integers(0, 3))]
     return {
         "host": host,
         "crawl_delay_s": delay,
@@ -557,13 +571,13 @@ def robots_for_host(host: str, cfg: CrawlConfig) -> dict:
     }
 
 
-def robots_txt_for_host(host: str, cfg: CrawlConfig) -> str:
+def robots_txt_for_host(host: str, cfg: CrawlConfig, epoch: int = 0) -> str:
     """The same deterministic policy rendered as an actual robots.txt
     BODY — what the engine fetches and parses (the ROBOTS table is built
     by functions/robots.parse_robots over these, not handed structured
     rows; the oracle keeps using the structured robots_for_host, so any
     render/parse disagreement fails the crawl-equality tests)."""
-    r = robots_for_host(host, cfg)
+    r = robots_for_host(host, cfg, epoch)
     lines = [
         f"# synthetic robots for {host}",
         "User-agent: *",

@@ -224,3 +224,41 @@ def test_export_interleaved_unswept_refs_null_not_dropped(spark, cfg):
     n = media.count()
     assert n > 0
     assert media.filter(F.col("s.blob").isNotNull()).count() == 0
+
+
+def test_probe_mode_equals_legacy_fetch_all(spark, tmp_path):
+    """Probe-then-fetch (default) and the single-phase fetch-everything
+    path (probe=None) must produce byte-identical MEDIA_REFS and
+    MEDIA_BLOBS tables on the same warehouse."""
+    import shutil
+
+    from swmaestro_crawler_spark.catalog import Catalog
+
+    c = _crawl(spark, tmp_path)
+    wh2 = str(tmp_path / "wh_legacy")
+    shutil.copytree(c.cat.warehouse, wh2)
+    cat2 = Catalog(spark, wh2)
+
+    res_probe = media_sweep(spark, c.cat)  # default: probe-then-fetch
+    res_legacy = media_sweep(spark, cat2, probe=None)
+    assert (res_probe.refs_seen, res_probe.refs_new, res_probe.blobs_new) == (
+        res_legacy.refs_seen,
+        res_legacy.refs_new,
+        res_legacy.blobs_new,
+    )
+    assert res_probe.blobs_bytes == res_legacy.blobs_bytes
+    a_refs = sorted(map(tuple, c.cat.read("media_refs", MEDIA_REFS).collect()))
+    b_refs = sorted(map(tuple, cat2.read("media_refs", MEDIA_REFS).collect()))
+    assert a_refs == b_refs
+    a_blobs = sorted(
+        (r.content_key, r.kind, r.n_bytes, bytes(r.blob))
+        for r in c.cat.read("media_blobs", MEDIA_BLOBS).collect()
+    )
+    b_blobs = sorted(
+        (r.content_key, r.kind, r.n_bytes, bytes(r.blob))
+        for r in cat2.read("media_blobs", MEDIA_BLOBS).collect()
+    )
+    assert a_blobs == b_blobs
+    # the probe path downloaded one body per distinct new content only;
+    # the legacy path downloaded every ref — same store either way
+    assert res_probe.blobs_new <= res_probe.refs_new

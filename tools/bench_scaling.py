@@ -727,20 +727,27 @@ def run_media_check(levels=(2, 8)) -> dict:
         "note": (
             "SCALING_MEDIA=1: after the crawl round, media_sweep resolves "
             "every span media_ref into the content-addressed store "
-            "(MEDIA_REFS mapping + MEDIA_BLOBS one-row-per-content). "
-            "Digests of both tables identical across core counts and "
-            "repeats; the immediate second sweep fetches and stores "
-            "nothing (idempotence at frontier scale). The 2->8 core "
-            "efficiency of this job is capped by the HOST, not the plan: "
-            "the per-stage walls show it is pure data movement — a "
-            "distinct over millions of unique ref STRINGS, Arrow "
-            "transfer, cache writes — with ~2 us/ref of ALU, and this "
-            "box's own engine-free probes cap 2->8 at 0.77 for ALU and "
-            "lower for allocation/random-access-heavy work (the crawl "
-            "round reaches 0.92 because its per-URL work is "
-            "L2-resident compute). Raising split granularity, shuffle "
-            "partitions, or pinning GC threads moves it <5% (all "
-            "measured); per-node DRAM on a real 2-vs-8-executor cluster "
+            "(MEDIA_REFS mapping + MEDIA_BLOBS one-row-per-content) via "
+            "the two-phase probe-then-fetch path: phase 1 fingerprints "
+            "every new reference to (content_key, kind) — strings and "
+            "int64s only, a stand-in for an ETag/Content-MD5 HEAD probe "
+            "or CDX lookup; phase 2 downloads body bytes for ONE "
+            "representative reference per not-yet-stored content, so "
+            "blob bytes never appear on a corpus-sized path (at 2M URLs: "
+            "~2.28M refs probed, 4,096 bodies fetched). Digests of both "
+            "tables identical across core counts and repeats AND "
+            "unchanged from the pre-probe single-phase record (the two "
+            "paths are output-identical, pinned by "
+            "tests/test_media_sweep.py); the immediate second sweep "
+            "fetches and stores nothing (idempotence at frontier "
+            "scale). Residual 2->8 inefficiency is the HOST's "
+            "data-movement ceiling, not the plan: the remaining work is "
+            "a distinct + anti-join over millions of unique ref STRINGS "
+            "and one Arrow probe pass, and this box's own engine-free "
+            "probes cap 2->8 at 0.77 for ALU and lower for "
+            "allocation/random-access-heavy work (the crawl round "
+            "reaches 0.92 because its per-URL work is L2-resident "
+            "compute); per-node DRAM on a real 2-vs-8-executor cluster "
             "is what this one-box emulation cannot grant."
         ),
     }
