@@ -393,16 +393,32 @@ FROM per
 # (union two groups' samples and re-take the bottom K — same property
 # KMV exploits), and uniform because the hash is uniform. Estimated
 # quantile = the ceil(q*n/100)-th smallest sampled value (percentile_disc
-# rank math, all-integer); the exact full-group quantile rides along as
-# the error disclosure (drop it at 100 TB — the sketch side shuffles only
-# (grp, h, v) for the K winners per group-partition after the window,
-# never the corpus).
+# rank math, all-integer).
+#
+# Skew shape (VERDICT r4 "What's wrong" #2): grp has ~5 values, so a
+# single `row_number() over (partition by grp order by h)` would drag
+# the WHOLE table through 5 reducers. The sample is therefore taken with
+# the same two-phase salted top-k the politeness admission uses
+# (operators/politeness.py split_admitted): phase 1 ranks within
+# (grp, pmod(h, QSK_SALTS)) — any row in the group's global bottom-K by
+# h is necessarily in its sub-bucket's bottom-K — and phase 2 exact-ranks
+# the ≤ SALTS×K survivors per group. Identical result to the single
+# window (h is unique per row), bounded reducer input at any skew.
+#
+# The exact full-group p50 rides along as the error disclosure; its
+# global rank is computed with packing.grouped_prefix_sum (range-sort +
+# per-partition offsets — no single-reducer window), not a per-group
+# window. Drop the exact column at 100 TB; the sketch side then shuffles
+# only the bounded sample.
 QSK_K = 256
 QSK_QS = (25, 50, 75, 90)
+QSK_SALTS = 16
 
 
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
+
+    from .packing import grouped_prefix_sum
 
     rows = load(spark, sf_dir, "orders").selectExpr(
         "o_orderpriority AS grp",
@@ -410,8 +426,17 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS h",
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
     )
-    samp = (
+    sub = F.pmod(F.col("h"), F.lit(QSK_SALTS))
+    pre = (
         rows.withColumn(
+            "rn1",
+            F.row_number().over(Window.partitionBy("grp", sub).orderBy("h")),
+        )
+        .filter(F.col("rn1") <= QSK_K)
+        .drop("rn1")
+    )
+    samp = (
+        pre.withColumn(
             "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
         )
         .filter(F.col("rn") <= QSK_K)
@@ -435,21 +460,22 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "ns")
         .agg(*[F.max(f"e{q}").alias(f"p{q}_est") for q in QSK_QS])
     )
-    # exact full-group quantiles (error disclosure; same rank math)
-    fw = Window.partitionBy("grp").orderBy("v", "h")
-    full = rows.select(
-        "grp", "v", F.row_number().over(fw).alias("vr")
-    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    # exact full-group p50 (error disclosure; same rank math): global
+    # (v, h)-order rank via the two-phase range-partitioned prefix sum —
+    # running count of ones — instead of a 5-reducer window
+    running, _handle = grouped_prefix_sum(
+        rows.withColumn("one", F.lit(1).cast("long")),
+        "grp",
+        ["v", "h"],
+        "one",
+        n_parts=32,
+        out_col="vr",
+    )
+    n_per = rows.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
     exact = (
-        full.select(
-            "grp",
-            "n",
-            F.when(
-                F.col("vr") == F.expr("(50 * n + 99) div 100"), F.col("v")
-            ).alias("e50"),
-        )
-        .groupBy("grp", "n")
-        .agg(F.max("e50").alias("p50_exact"))
+        running.join(F.broadcast(n_per), "grp")
+        .filter(F.col("vr") == F.expr("(50 * n + 99) div 100"))
+        .select("grp", "n", F.col("v").alias("p50_exact"))
     )
     return est.join(exact, "grp").select(
         "grp",

@@ -299,3 +299,38 @@ def test_batch_sessionize_user_partitioned_single_shuffle(spark):
     assert "SinglePartition" not in plan
     assert plan.count("Arguments: hashpartitioning") == 1
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_table_profile_has_no_expand(spark):
+    """The r4 form's six exact count_distincts in one agg made Catalyst
+    Expand each input row ×7 before the shuffle — a full-table multiply
+    that kills at 100×. The HLL-register rewrite must keep every
+    aggregate non-distinct: no Expand node anywhere (VERDICT r4 #1)."""
+    from swmaestro_crawler_spark.operators.relational import q_table_profile
+
+    plan = plan_of(q_table_profile(spark, SF_DIR))
+    assert "Expand" not in plan
+    # both passes partial+final hash aggregate (map-side combine)
+    assert plan.count("HashAggregate") >= 4
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_quantile_sketch_sample_is_salted_two_phase(spark):
+    """The bottom-K sample must rank in (grp, pmod(h, S)) sub-buckets
+    first — the full-table exchange carries the salt — and only the
+    bounded ≤ S×K survivors may hit a plain (grp) exchange
+    (VERDICT r4 #2). The exact-p50 side uses grouped_prefix_sum, so no
+    single-reducer stage exists anywhere."""
+    import re
+
+    from swmaestro_crawler_spark.operators.sketches import q_quantile_sketch
+
+    plan = plan_of(q_quantile_sketch(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan
+    salted = re.search(r"hashpartitioning\(grp#\d+, _w\d+#\d+L?, \d+\)", plan)
+    plain = re.search(r"hashpartitioning\(grp#\d+, \d+\)", plan)
+    assert salted is not None, "phase-1 sub-bucket exchange missing"
+    assert plain is not None and salted.start() < plain.start(), (
+        "full-table rows reached a plain (grp) exchange before the salted"
+        " sub-bucket rank"
+    )
