@@ -103,55 +103,71 @@ def _all_modules():
     )
 
 
-# Keys with no driver CORRECTNESS row in rounds 1-3 (the driver samples
-# ~50 keys in dict order per round, so never-checked keys must come
-# first; VERDICT r3 "Next round" item 2). Once CORRECTNESS_r04 lands,
-# the union r01-r04 covers every contract query.
-_NEVER_CHECKED_FIRST = (
-    "catalog_schema_evolution",
-    "inverted_index_incremental",
-    "kmv_set_ops",
-    "label_propagation_communities",
-    "scd2_dimension",
-    "dedup_ppjoin_pairs",
-    "batch_sessionize",
-    "pps_systematic_sample",
-    "quantile_sketch",
-    "dsir_importance_topk",
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_adc_recall",
-    "bm25_topk",
-    "inverted_index_postings",
-    "hits_purchase_graph",
-    "table_profile",
-    "catalog_time_travel",
-    "catalog_incremental_read",
-    "catalog_takedown",
-    "boilerplate_removal",
-    "dupspan_removal",
-    "dedup_cluster_representatives",
-    "adaptive_backoff_factors",
-    "opic_score_table",
-    "multimodal_av_probe",
-    "quality_classifier",
-    "host_reputation",
-    "lsh_bucket_stats",
-    "embedding_int8_quantize",
-    "kmeans_centroids",
-    "ann_ivf_recall",
-    "ann_ivf_topk",
-    "semantic_dedup",
-    "hll_distinct",
-    "kmv_distinct",
-    "countmin_heavy_hitters",
-    "url_trap_templates",
-    "boilerplate_ngrams",
-    "zorder_locality",
-    "corpus_shard_pack",
-    "streaming_dedup_exact",
-    "streaming_stream_join",
-    "streaming_exactly_once_sink",
+# Driver-sample rotation (VERDICT r4 "Next round" item 6): the driver
+# samples ~50 keys in dict order per round, so keys whose latest driver
+# CORRECTNESS row is OLDEST go first — never-sampled (new this round)
+# keys, then the keys last sampled in r02, then r03. The union of
+# CORRECTNESS_r01..r04 covers all previously-declared keys; this order
+# keeps no key's driver evidence more than ~3 rounds stale. Keys new in
+# round 5 (no driver row yet):
+_STALE_FIRST = (
+    # --- new in r5 (never driver-sampled) ---
+    "streaming_late_data_audit",
+    # --- last driver row: r02 ---
+    "ann_cosine_topk",
+    "embedding_centroid_assign",
+    "embedding_neardup_pairs",
+    "html_field_extract",
+    "multimodal_media_meta",
+    "multimodal_resize_sample",
+    "streaming_daily_event_counts",
+    "streaming_sessionize_stateful",
+    "streaming_sliding_hourly_counts",
+    # --- last driver row: r03 ---
+    "asof_join_attribution",
+    "bigram_lm_score",
+    "budget_admission",
+    "catalog_merge_upsert",
+    "catalog_point_lookup",
+    "channel_staleness",
+    "corpus_curation_pipeline",
+    "corpus_length_quantiles",
+    "cube_source_lang",
+    "daily_event_metrics",
+    "daily_rollup",
+    "datetime_surgery",
+    "decontam_benchmark_overlap",
+    "dedup_clusters",
+    "dedup_exact_text",
+    "dedup_incremental",
+    "dedup_keepfirst_events",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash",
+    "domain_mixture_sample",
+    "dupspan_ngram_windows",
+    "json_extract_agg",
+    "pagerank_purchase_graph",
+    "party_counts_union",
+    "pii_redact",
+    "pivot_event_type_counts",
+    "range_join_time_band",
+    "recrawl_schedule",
+    "repetition_top_bigram",
+    "sample_split",
+    "scalar_surgery",
+    "span_explode",
+    "stratified_sample",
+    "text_fingerprint",
+    "text_lang_guess",
+    "text_quality_score",
+    "text_runs_flatten",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "top5_orders_per_priority",
+    "user_event_gaps_window",
+    "vocab_topk",
 )
 
 
@@ -161,7 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name, (fn, _sql) in mod.QUERIES.items():
             flat[name] = fn
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _NEVER_CHECKED_FIRST:
+    for name in _STALE_FIRST:
         if name in flat:
             out[name] = flat.pop(name)
     out.update(flat)

@@ -287,16 +287,25 @@ def main() -> None:
     # swings ±40% run-to-run on this host (all walls recorded;
     # scale-representative numbers are the 1M/10M rounds in
     # BENCH/BASELINE.md)
-    runs = [_crawl_subprocess() for _ in range(3)]
+    # BOTH arms best-of-3 in fresh subprocesses, interleaved off/on so
+    # host drift hits both equally (VERDICT r4 #3: the r4 headline ran
+    # the cuckoo arm as a single sample under a weaker protocol and
+    # disagreed with BENCH/cuckoo_ab.json by +27 s; protocol now
+    # identical for both arms and matches tools/cuckoo_ab.py)
+    runs, ck_runs = [], []
+    for _ in range(3):
+        runs.append(_crawl_subprocess())
+        ck_runs.append(_crawl_subprocess(cuckoo=True))
     crawl = min(runs, key=lambda c: c["measured_wall_s"])
     crawl["all_walls"] = [c["measured_wall_s"] for c in runs]
-
-    # one cuckoo-tier-on run: wall comparable, digests MUST equal the
-    # tier-off run (every seen tier is FN-free) — asserted, not assumed
-    ck = _crawl_subprocess(cuckoo=True)
-    assert ck["digests"] == crawl["digests"], "cuckoo tier changed crawl output!"
-    assert ck.get("logical_digests") == crawl.get("logical_digests")
+    ck = min(ck_runs, key=lambda c: c["measured_wall_s"])
+    # digests MUST equal the tier-off run on EVERY repeat (every seen
+    # tier is FN-free) — asserted, not assumed
+    for c in ck_runs:
+        assert c["digests"] == crawl["digests"], "cuckoo tier changed crawl output!"
+        assert c.get("logical_digests") == crawl.get("logical_digests")
     crawl["cuckoo_wall_s"] = ck["measured_wall_s"]
+    crawl["cuckoo_all_walls"] = [c["measured_wall_s"] for c in ck_runs]
     crawl["cuckoo_digests_match"] = True
 
     from swmaestro_crawler_spark.config import spark_builder

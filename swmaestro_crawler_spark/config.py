@@ -49,9 +49,27 @@ class CrawlConfig:
     # ~1e-4 FP re-probe the bloom's false positives so only a sliver
     # pays the exact-confirm shuffle; FN-free, so digests are identical
     # either way. Size parts*buckets*slots >= ~1.05x expected seen URLs.
+    #
+    # Regime guidance (measured): the tier's fixed cost is the
+    # per-round filter rebuild/increment plus the fused-fetch probe —
+    # roughly constant per round — while its payoff is the avoided
+    # exact-confirm shuffle of bloom false positives, which grows with
+    # |seen|. At 2M URLs / 8 cores the tier cost +42% wall
+    # (BENCH/scaling.json cuckoo_digest_check); at 30k URLs best-of-3
+    # it costs ~+2.4 s over a ~30 s crawl (BENCH/cuckoo_ab.json). The
+    # bloom's FP count is n_frontier_rows x bloom_FP_rate; only when
+    # that times the per-row exact-confirm shuffle cost exceeds the
+    # tier's fixed per-round cost does the tier win — with the default
+    # ~1% bloom FP target that crossover sits around 10^8-10^9 seen
+    # URLs (where the exact seen table no longer fits a
+    # broadcast/local join and each confirm is a real shuffle).
+    # cuckoo_min_expected_urls makes the guidance loud: enabling the
+    # tier while declaring a smaller expected frontier warns.
     cuckoo_buckets: int | None = None  # buckets PER SHARD; power of two
     cuckoo_slots: int = 4
     cuckoo_parts: int = 8            # disjoint key shards (mod url_hash)
+    cuckoo_min_expected_urls: int = 100_000_000  # warn-below threshold
+    expected_urls: int | None = None  # declared target frontier scale
 
     # storage
     warehouse: str = "./warehouse"
@@ -77,6 +95,22 @@ class CrawlConfig:
                 raise ValueError("cuckoo_buckets must be a power of two >= 2")
             if self.cuckoo_parts < 1 or self.cuckoo_slots < 1:
                 raise ValueError("cuckoo_parts and cuckoo_slots must be >= 1")
+            if (
+                self.expected_urls is not None
+                and self.expected_urls < self.cuckoo_min_expected_urls
+            ):
+                import warnings
+
+                warnings.warn(
+                    "cuckoo tier enabled below its measured payoff regime "
+                    f"(expected_urls={self.expected_urls:,} < "
+                    f"{self.cuckoo_min_expected_urls:,}): the tier's fixed "
+                    "per-round cost exceeds the avoided exact-confirm "
+                    "shuffle at this scale (BENCH/cuckoo_ab.json); output "
+                    "is identical either way (FN-free) but wall will be "
+                    "higher. Leave cuckoo_buckets=None below ~1e8 URLs.",
+                    stacklevel=2,
+                )
         if not (0.0 <= self.synth_fail_prob < 1.0):
             raise ValueError("synth_fail_prob must be in [0, 1)")
         if not (0.0 <= self.synth_fatal_prob < 1.0):

@@ -240,19 +240,36 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> tuple[DataFrame, DataFram
     directed edge list (src = hub side, dst = authority side); returns
     (hubs, auths) as (node, score) in HITS_SCALE L1 fixed-point units.
 
-    Per half-step, ONE eager job: the raw inbox vector is persisted and
-    its L1 total pulled to the driver in the same action (a single int64
-    — not row data), then re-enters the plan as a literal, so the
-    normalized scores are a pure projection over the cache. That halves
-    the fixed per-job latency of the old checkpoint-then-broadcast form
-    (each half-step paid a checkpoint job plus a broadcast-exchange job)
-    while keeping lineage growth linear; the final vectors are cut with
-    localCheckpoint before the caches release. Values are int64-exact
-    and identical either way."""
+    Stride-2 eagerness (VERDICT r4 #4 — the same cure pagerank's
+    checkpoint_every applies): ONE eager job per full iteration, not per
+    half-step. Both half-steps of an iteration stay lazy; only the
+    iteration's resulting hub vector is cut eagerly with localCheckpoint.
+    What made the half-steps eager before was the L1 total — it was
+    pulled to the driver as a literal, forcing an action per half-step.
+    The total now re-enters the plan as a broadcast 1-row crossjoin,
+    and — the key move — it is computed WITHOUT touching the edge-sized
+    raw-inbox subtree: Σ_to raw(to) = Σ_edges score(from) =
+    Σ_from degree(from)·score(from), a node-sized join of the score
+    vector against the persisted degree table. Values are int64-exact
+    and identical to the per-half-step form: (raw * HITS_SCALE) div tot
+    with the same exact integer total (integer-sum associativity), just
+    sourced from a column instead of a literal.
+
+    An empty edge list returns two empty (node, score) frames — no
+    driver-side division by n_hubs = 0."""
     edges = edges.persist()
     nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    handles: list[DataFrame] = [edges, nodes]
+    # node-sized degree tables for the L1 totals (persisted once)
+    deg = {
+        "src": edges.groupBy("src").agg(F.count("*").alias("d")).persist(),
+        "dst": edges.groupBy("dst").agg(F.count("*").alias("d")).persist(),
+    }
     n_hubs = nodes.count()
+    if n_hubs == 0:
+        empty = nodes.select("node", F.lit(0).cast("long").alias("score"))
+        for h in (edges, nodes, *deg.values()):
+            h.unpersist()
+        return empty, empty
     # pre-normalized start: HITS_SCALE div n_hubs (`//` == SQL div on
     # positive int64), keeping every later raw sum <= HITS_SCALE
     hubs = nodes.select(
@@ -265,21 +282,21 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> tuple[DataFrame, DataFram
             edges.join(scores, edges[key_from] == scores.node)
             .groupBy(key_to)
             .agg(F.sum("score").alias("raw"))
-            .persist()
         )
-        handles.append(raw)
-        tot = raw.agg(F.sum("raw")).first()[0]  # fills the cache + total
-        return raw.select(
+        tot = (
+            scores.join(deg[key_from], scores.node == deg[key_from][key_from])
+            .agg(F.sum(F.col("score") * F.col("d")).alias("tot"))
+        )
+        return raw.crossJoin(F.broadcast(tot)).select(
             F.col(key_to).alias("node"),
-            F.expr(f"(raw * {HITS_SCALE}) div {tot}").alias("score"),
+            F.expr(f"(raw * {HITS_SCALE}) div tot").alias("score"),
         )
 
     for _ in range(iters):
         auths = _half(hubs, "src", "dst")
-        hubs = _half(auths, "dst", "src")
-    hubs = hubs.localCheckpoint(eager=True)
+        hubs = _half(auths, "dst", "src").localCheckpoint(eager=True)
     auths = auths.localCheckpoint(eager=True)
-    for h in handles:
+    for h in (edges, nodes, *deg.values()):
         h.unpersist()
     return hubs, auths
 

@@ -899,9 +899,21 @@ def q_catalog_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_values=[target],
         stat_cols=["source", "doc_id"],
     )
+    # delete_where's contract is a BOUNDED key list (a takedown notice,
+    # not a predicate over the corpus); model that bound in the demo —
+    # the collect is capped and the cap is loud, never silent truncation
     ids = sorted(
-        r[0] for r in docs.filter(F.col("doc_id") % 997 == 3).select("doc_id").collect()
+        r[0]
+        for r in docs.filter(F.col("doc_id") % 997 == 3)
+        .select("doc_id")
+        .limit(1001)
+        .collect()
     )
+    if len(ids) > 1000:
+        raise ValueError(
+            "takedown demo key list exceeded the 1000-key bound; "
+            "delete_where expects a bounded takedown list"
+        )
     if ids:
         cat.delete_where(
             "docs_t",

@@ -134,29 +134,39 @@ def q_opic_score_table(spark, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.year("o_orderdate").alias("r"),
-            F.col("o_custkey").cast("long").alias("src"),
-            F.col("l_suppkey").cast("long").alias("dst"),
-        )
-        .distinct()
+    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.year("o_orderdate").alias("r"),
+        F.col("o_custkey").cast("long").alias("src"),
+        F.col("l_suppkey").cast("long").alias("dst"),
+    ).distinct()
+    # All rounds' contribution deltas in ONE pass (outdegree per
+    # (round, src) — identical to opic_contributions_keyed on each
+    # year's slice, since a batch here IS a year); the per-round commits
+    # then write filters of this tiny cached frame instead of re-running
+    # the edge aggregation per commit (VERDICT r4 #5: the demo's 7
+    # sequential full-graph jobs were the wall, not the O(delta)
+    # operator).
+    outdeg = edges.groupBy("r", "src").agg(F.count(F.lit(1)).alias("outdeg"))
+    pre = (
+        edges.join(outdeg, ["r", "src"])
+        .select("r", "dst", F.expr(f"{PR_SCALE} div outdeg").alias("c"))
+        .groupBy("r", "dst")
+        .agg(F.sum("c").alias("score"))
+        .select("r", F.col("dst").alias("url_hash"), "score")
         .persist()
     )
-    years = sorted(r.r for r in edges.select("r").distinct().collect())
+    years = sorted(x.r for x in pre.select("r").distinct().collect())
     cat = Catalog(spark, tempfile.mkdtemp(prefix="scores_wh_"))
     for i, yr in enumerate(years):
         cat.append(
             SCORES_TABLE,
-            opic_contributions_keyed(edges.filter(F.col("r") == yr)),
+            pre.filter(F.col("r") == yr).select("url_hash", "score"),
             meta={"round": yr},
         )
         if i == len(years) // 2:
             compact_scores(cat)
-    out = read_scores(cat)
-    edges.unpersist()
-    return out
+    pre.unpersist()
+    return read_scores(cat)
 
 
 SQL_OPIC_SCORE_TABLE = f"""

@@ -143,7 +143,7 @@ def synth_media_transport(refs: pd.Series) -> pd.DataFrame:
 @dataclass
 class MediaSweepResult:
     refs_seen: int       # distinct media refs in the scanned spans
-    refs_new: int        # refs resolved (fetched) this sweep
+    refs_new: int        # refs resolved (probed or fetched) this sweep
     blobs_new: int       # distinct new contents stored
     blobs_bytes: int     # bytes written to the blob store
     timings: dict = None  # per-stage wall seconds (attribution)
@@ -354,7 +354,11 @@ def _sweep_probe(
                 "content_key",
                 "left_anti",
             )
-            .select("content_key", F.col("r.media_ref").alias("media_ref"))
+            .select(
+                "content_key",
+                F.col("r.media_ref").alias("media_ref"),
+                F.col("r.kind").alias("probed_kind"),
+            )
         )
 
         def fetch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -362,14 +366,21 @@ def _sweep_probe(
                 if not len(b):
                     continue
                 got = transport(b["media_ref"])
-                # the probe's fingerprint must match the downloaded
-                # content — a stale/lying probe fails loudly instead of
-                # storing bytes under the wrong address
+                # the probe's fingerprint AND kind must match the
+                # downloaded content — a stale/lying probe fails loudly
+                # instead of storing bytes under the wrong address or
+                # the wrong media type
                 if not (
                     got["content_key"].to_numpy() == b["content_key"].to_numpy()
                 ).all():
                     raise ValueError(
                         "media probe fingerprint does not match fetched content"
+                    )
+                if not (
+                    got["kind"].to_numpy() == b["probed_kind"].to_numpy()
+                ).all():
+                    raise ValueError(
+                        "media probe kind does not match fetched content"
                     )
                 yield got
 
