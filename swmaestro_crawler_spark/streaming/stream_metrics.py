@@ -287,10 +287,163 @@ JOIN events p
 """
 
 
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data ACCOUNTING: rows past the watermark are counted into an
+    audit face, never silently lost — the missing piece of the C8
+    dedup-by-(entity, check_time) story at 10^10 observations (a revisit
+    scheduler must know how many observations its watermark discarded,
+    or its freshness SLO silently rots).
+
+    Mechanics (all deterministic, both engines replay it exactly):
+    events are staged as THREE stream files drained in mtime order with
+    maxFilesPerTrigger=1 —
+
+      A (bulk)    = the non-late-split ids (event_id % 10 != 0); its max
+                    event time advances the watermark at end of batch 0;
+      B (trigger) = the late-split ids' RECENT rows (ts > max - 3 days);
+                    batch 1 runs with watermark = max(A) - 1h, so at its
+                    commit every day-window older than the last day is
+                    emitted (append mode) and EVICTED;
+      C (late)    = the late-split ids' OLD rows (ts <= max - 3 days) —
+                    every one arrives after its window was evicted and
+                    is dropped by the watermark filter.
+
+    The late split is `event_id % 10 = 0`, so the drop set is exactly
+    reconstructable from the table: C = (id%10=0 AND ts <= max-3d).
+    The function ASSERTS the engine's own telemetry agrees — the sum of
+    `numRowsDroppedByWatermark` over the drain's progress events must
+    equal the drop set AT THE ENGINE'S GRANULARITY: the metric counts
+    rows entering the STATE STORE, i.e. post-partial-aggregation
+    (window, event_type) partials, not raw input rows (measured: 901
+    late raw rows -> 135 dropped state rows = the 135 distinct
+    (day, type) pairs in the late set; the staged single-file batch
+    reads as one partition, so partials = distinct pairs). ROW-level
+    accounting is certified by the output itself: the on_time face's
+    DuckDB twin proves no late row leaked into any emitted count, and
+    the late_audit face carries every dropped row. Two faces:
+
+      face='on_time'    per-(day, type) counts the append sink emitted:
+                        A∪B rows in day-windows closed by the final
+                        watermark (window end <= max(ts) - 1h; the last
+                        open day never emits in append mode — disclosed,
+                        it emits on the next real batch in production);
+      face='late_audit' per-(day, type) counts of the dropped rows.
+
+    Scale shape: the audit side is the same windowed count the main
+    aggregation runs, over the (tiny) drop set; in production the audit
+    face is fed by the ingestion log's replay filter, and this contract
+    pins that the engine's drop accounting matches that reconstruction
+    bit-for-bit."""
+    import shutil
+
+    ev = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    mx = ev.agg(F.max("ts")).first()[0]
+    cut = "ts <= TIMESTAMP '%s' - INTERVAL 3 DAYS" % mx
+    is_late_split = f"event_id % 10 = 0 AND {cut}"
+    stage = tempfile.mkdtemp(prefix="late_stage_")
+    src = tempfile.mkdtemp(prefix="late_src_")
+    # a true 3-way partition of the table (A ∪ B ∪ C = events, disjoint)
+    for i, (name, cond) in enumerate(
+        [
+            ("a_bulk", "event_id % 10 != 0"),
+            ("b_trigger", f"event_id % 10 = 0 AND NOT ({cut})"),
+            ("c_late", is_late_split),
+        ]
+    ):
+        d = os.path.join(stage, name)
+        ev.filter(cond).coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"{name}.parquet")
+        shutil.copy(os.path.join(d, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    srcdf = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        srcdf.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink = f"stream_late_{uuid.uuid4().hex[:8]}"
+    with drain_confs(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped_by_engine = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+    late = ev.filter(is_late_split)
+    n_late_pairs = (
+        late.select(F.date_trunc("day", "ts"), "event_type").distinct().count()
+    )
+    if dropped_by_engine != n_late_pairs:
+        raise AssertionError(
+            f"late-row accounting mismatch: engine dropped "
+            f"{dropped_by_engine} state rows by watermark, reconstruction "
+            f"says {n_late_pairs} late (day, type) partials — the audit "
+            "would silently lose rows"
+        )
+    audit = (
+        late.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.lit("late_audit").alias("face"), "day", "event_type", "n_events")
+    )
+    on_time = spark.table(sink).select(
+        F.lit("on_time").alias("face"), "day", "event_type", "n_events"
+    )
+    return on_time.unionByName(audit)
+
+
+SQL_STREAM_LATE_DATA_AUDIT = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+late AS (
+  SELECT e.* FROM events e, mx
+  WHERE event_id % 10 = 0 AND ts <= m - INTERVAL 3 DAY),
+kept AS (
+  SELECT e.* FROM events e, mx
+  WHERE NOT (event_id % 10 = 0 AND ts <= m - INTERVAL 3 DAY)
+    AND date_trunc('day', ts) + INTERVAL 1 DAY <= m - INTERVAL 1 HOUR)
+SELECT 'on_time' AS face, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM kept GROUP BY 2, 3
+UNION ALL
+SELECT 'late_audit' AS face, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM late GROUP BY 2, 3
+"""
+
+
 QUERIES = {
     "streaming_daily_event_counts": (
         lambda spark, sf_dir: stream_daily_event_counts(spark, sf_dir),
         SQL_STREAM_DAILY_EVENT_COUNTS,
+    ),
+    "streaming_late_data_audit": (
+        lambda spark, sf_dir: stream_late_data_audit(spark, sf_dir),
+        SQL_STREAM_LATE_DATA_AUDIT,
     ),
     "streaming_sliding_hourly_counts": (
         lambda spark, sf_dir: stream_sliding_hourly_counts(spark, sf_dir),
