@@ -1071,6 +1071,18 @@ are false-negative-free at frontier scale, not just in unit tests.
 Wall {ck['wall_s']} s (tier-on; on this all-unseen frontier the cuckoo
 only adds probe cost — its win is the anti-join work it removes when
 revisit/duplicate pressure is high).
+
+**Crossover guidance (measured, not assumed):** the tier's cost is a
+~constant per-round filter increment + fused-fetch probe; its payoff is
+the avoided exact-confirm shuffle of BLOOM FALSE POSITIVES, which is
+frontier_rows × bloom_FP_rate × per-row confirm cost and grows with
+|seen|. At 2M URLs the tier costs +42% wall here and +~2.4 s at 30k
+(`BENCH/cuckoo_ab.json`); with the default ~1% FP bloom the avoided
+work does not exceed the fixed cost until the exact seen side stops
+being a cheap local/broadcast join — around 10^8-10^9 seen URLs.
+`CrawlConfig` therefore WARNS when `cuckoo_buckets` is set with a
+declared `expected_urls` below 10^8 (`cuckoo_min_expected_urls`);
+output is digest-identical either way, only wall differs.
 """
             )
         sc = summary.get("score_admission_check")

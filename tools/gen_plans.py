@@ -138,6 +138,22 @@ def main() -> None:
             "`operators/dedup.py q_ppjoin_pairs`",
             _ppjoin(spark, SF),
         ),
+        (
+            "Table profile (one wide NON-distinct agg + one HLL-register pass; "
+            "NO Expand node — the r4 multi-count_distinct form multiplied every "
+            "row x7 before its shuffle)",
+            "`operators/relational.py q_table_profile`",
+            REL_Q["table_profile"][0](spark, SF),
+        ),
+        (
+            "Quantile sketch (salted (grp, pmod(h,S)) two-phase bottom-K sample; "
+            "exact-p50 disclosure via range-partitioned grouped prefix sum — no "
+            "5-reducer window anywhere)",
+            "`operators/sketches.py q_quantile_sketch`",
+            __import__(
+                "swmaestro_crawler_spark.operators.sketches", fromlist=["x"]
+            ).q_quantile_sketch(spark, SF),
+        ),
     ]
 
     out = [
