@@ -51,11 +51,21 @@ PR_ITERS = 6
 
 def purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed distinct customer->supplier edges as (src, dst); node ids
-    disjoint (customers 2k, suppliers 2k+1)."""
+    disjoint (customers 2k, suppliers 2k+1).
+
+    The orders side is hint-broadcast: it is the DEMO's edge scaffolding
+    (a 2-column orderkey->custkey map, ~24 MB at sf0.1 — the bounded
+    input that stands in for a link graph the crawl would have already
+    materialized), and broadcasting it keeps lineitem unshuffled, so the
+    only exchange in the build is the final distinct on (src, dst) int
+    pairs. At corpus scale the edge list arrives from crawl discovery
+    (plans/round.py link emission) and this join does not exist; if both
+    sides were fact-sized the hint must come off and the SMJ is the
+    right plan — disclosed, not silent."""
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .select(
             (F.col("o_custkey") * 2).cast("long").alias("src"),
             (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),

@@ -134,7 +134,10 @@ def q_opic_score_table(spark, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderdate"
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    edges = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+    # broadcast the demo's bounded orderkey->(custkey, date) map (same
+    # disclosure as graph.purchase_pairs: at corpus scale the edge
+    # stream arrives materialized from crawl discovery, no join)
+    edges = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).select(
         F.year("o_orderdate").alias("r"),
         F.col("o_custkey").cast("long").alias("src"),
         F.col("l_suppkey").cast("long").alias("dst"),
