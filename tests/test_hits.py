@@ -71,3 +71,13 @@ def test_contract_query_roles(spark):
         | ((F.col("role") == "auth") & (F.col("node_id") % 2 == 0))
     ).count()
     assert bad == 0
+
+
+def test_hits_empty_edges_returns_empty(spark):
+    """An empty edge list yields two empty (node, score) frames instead
+    of a driver-side ZeroDivisionError (ADVICE r4)."""
+    from swmaestro_crawler_spark.operators.graph import hits
+
+    h, a = hits(spark.createDataFrame([], "src long, dst long"))
+    assert h.count() == 0 and a.count() == 0
+    assert [f.name for f in h.schema.fields] == ["node", "score"]
