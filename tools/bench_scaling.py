@@ -896,6 +896,7 @@ def main() -> None:
             prior = json.load(f)
         for k in (
             "cuckoo_digest_check",
+            "cuckoo_pressure_check",
             "score_admission_check",
             "score_table_check",
             "kill_resume_check",
@@ -1083,6 +1084,40 @@ being a cheap local/broadcast join — around 10^8-10^9 seen URLs.
 `CrawlConfig` therefore WARNS when `cuckoo_buckets` is set with a
 declared `expected_urls` below 10^8 (`cuckoo_min_expected_urls`);
 output is digest-identical either way, only wall differs.
+"""
+            )
+        cp = summary.get("cuckoo_pressure_check")
+        if cp:
+            prow = "\n".join(
+                f"| {r['n_seen']:,} | {r['bloom_fp_rate']:.1%} "
+                f"| {r['confirm_rows_off']:,} | {r['confirm_rows_on']:,} "
+                f"| {r['wall_off_s']} | {r['wall_on_s']} |"
+                for r in cp["rows"]
+            )
+            f.write(
+                f"""
+## Cuckoo-tier duplicate-pressure sweep (measured crossover evidence)
+
+`tools/cuckoo_pressure.py`: the regime the all-unseen benches cannot
+show — a FIXED 4 MiB broadcast bloom while the seen set outgrows it
+(FP rate rises), a 2M-URL frontier with 20% true duplicates, the
+engine's own `filter_unseen` path, arms interleaved, best-of walls,
+result counts asserted equal across arms:
+
+| seen keys | bloom FP | confirm rows (off) | confirm rows (on) | wall off s | wall on s |
+|---|---|---|---|---|---|
+{prow}
+
+Reading: the tier does exactly what it claims — at 62% bloom FP it
+removes ~71% of the confirm-join input (987k of 1.39M rows; at design
+FP rates the removal is >99.9%) — yet on ONE node it still never wins,
+because a 16M-row page-cache-resident anti-join is cheaper than the
+extra 1.4M-row broadcast-table probe. The single-box crossover is
+therefore HIGHER than the 10^8 config guard, which stands as a lower
+bound: the tier pays only where each confirm row costs network shuffle
+against an executor-sharded multi-billion-row seen table, a regime one
+box cannot reproduce. The row-reduction column is the scale-transfer
+number; the walls are the honest single-node disclosure.
 """
             )
         sc = summary.get("score_admission_check")
