@@ -113,6 +113,15 @@ def _all_modules():
 _STALE_FIRST = (
     # --- new in r5 (never driver-sampled) ---
     "streaming_late_data_audit",
+    # --- code changed in r5 (need a FRESH driver row; table_profile's
+    #     output schema changed, the others' plans/demos did) ---
+    "table_profile",
+    "quantile_sketch",
+    "hits_purchase_graph",
+    "opic_score_table",
+    "catalog_takedown",
+    "pagerank_purchase_graph",
+    "label_propagation_communities",
     # --- last driver row: r02 ---
     "ann_cosine_topk",
     "embedding_centroid_assign",
