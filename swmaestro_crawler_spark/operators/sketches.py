@@ -415,6 +415,37 @@ QSK_QS = (25, 50, 75, 90)
 QSK_SALTS = 16
 
 
+def bottom_k_by_hash(
+    rows: DataFrame, k: int = QSK_K, salts: int = QSK_SALTS
+) -> DataFrame:
+    """Per-``grp`` bottom-``k`` rows by ``h``, selected skew-safely in
+    two phases: rank within (grp, pmod(h, salts)) sub-buckets keeping
+    each sub-bucket's bottom-k (any row in the group's global bottom-k
+    is necessarily in its sub-bucket's bottom-k), then exact-rank the
+    ≤ salts×k survivors. Equal to the single-window
+    ``row_number() over (partition by grp order by h) <= k`` selection
+    whenever h is unique per row — pinned against that naive form on
+    adversarially skewed inputs by tests/test_pps_sample.py."""
+    from pyspark.sql import Window
+
+    sub = F.pmod(F.col("h"), F.lit(salts))
+    pre = (
+        rows.withColumn(
+            "rn1",
+            F.row_number().over(Window.partitionBy("grp", sub).orderBy("h")),
+        )
+        .filter(F.col("rn1") <= k)
+        .drop("rn1")
+    )
+    return (
+        pre.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
@@ -426,22 +457,7 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BIGINT) AS h",
         "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v",
     )
-    sub = F.pmod(F.col("h"), F.lit(QSK_SALTS))
-    pre = (
-        rows.withColumn(
-            "rn1",
-            F.row_number().over(Window.partitionBy("grp", sub).orderBy("h")),
-        )
-        .filter(F.col("rn1") <= QSK_K)
-        .drop("rn1")
-    )
-    samp = (
-        pre.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("grp").orderBy("h"))
-        )
-        .filter(F.col("rn") <= QSK_K)
-        .drop("rn")
-    )
+    samp = bottom_k_by_hash(rows)
     vw = Window.partitionBy("grp").orderBy("v", "h")
     ranked = samp.select(
         "grp", "v", F.row_number().over(vw).alias("vr")

@@ -81,3 +81,47 @@ def test_hits_empty_edges_returns_empty(spark):
     h, a = hits(spark.createDataFrame([], "src long, dst long"))
     assert h.count() == 0 and a.count() == 0
     assert [f.name for f in h.schema.fields] == ["node", "score"]
+
+
+def test_hits_matches_driver_reference_on_random_graphs(spark):
+    """Engine HITS (lazy crossjoin totals, degree-table L1 sums,
+    stride-2 checkpoints) must reproduce a direct driver-side integer
+    reference of the SAME spec — (raw * SCALE) div tot per half-step —
+    bit-for-bit on random graphs. Guards the r5 restructuring: the
+    totals' sourcing (column vs literal, degree-sum vs raw-sum) must
+    never change a value."""
+    import random
+
+    from swmaestro_crawler_spark.operators.graph import HITS_ITERS
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        nodes = list(range(10))
+        pairs = sorted(
+            {
+                (rng.choice(nodes) * 2, rng.choice(nodes) * 2 + 1)
+                for _ in range(25)
+            }
+        )
+        hubs_df, auths_df = hits(_edges(spark, pairs))
+
+        # driver reference: same integer spec, dict arithmetic
+        srcs = sorted({s for s, _ in pairs})
+        h = {s: HITS_SCALE // len(srcs) for s in srcs}
+        a = {}
+        for _ in range(HITS_ITERS):
+            raw_a = {}
+            for s, d in pairs:
+                raw_a[d] = raw_a.get(d, 0) + h[s]
+            tot = sum(raw_a.values())
+            a = {d: (v * HITS_SCALE) // tot for d, v in raw_a.items()}
+            raw_h = {}
+            for s, d in pairs:
+                raw_h[s] = raw_h.get(s, 0) + a[d]
+            tot = sum(raw_h.values())
+            h = {s: (v * HITS_SCALE) // tot for s, v in raw_h.items()}
+
+        got_h = {r.node: r.score for r in hubs_df.collect()}
+        got_a = {r.node: r.score for r in auths_df.collect()}
+        assert got_h == h, f"hub mismatch at seed {seed}"
+        assert got_a == a, f"auth mismatch at seed {seed}"

@@ -48,3 +48,37 @@ def test_quantile_sketch_estimates_track_exact(spark):
         # sampling error bound: ~1/sqrt(K) relative rank error -> the
         # value estimate should be within 25% of exact for this data
         assert abs(r.p50_est - r.p50_exact) / r.p50_exact < 0.25
+
+
+def test_bottom_k_two_phase_equals_single_window(spark):
+    """The salted two-phase bottom-K selection must pick EXACTLY the
+    rows the naive single window picks, including under adversarial
+    skew (one group holding ~all rows) and tiny groups (< K rows),
+    for several salt counts."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from swmaestro_crawler_spark.operators.sketches import bottom_k_by_hash
+
+    for seed, k, salts in [(3, 8, 4), (11, 16, 16), (42, 5, 3)]:
+        rng = random.Random(seed)
+        data = []
+        # group "hot" holds 90% of rows; "a"/"b" are tiny (some < k)
+        hashes = rng.sample(range(1, 100_000), 400)
+        for i, h in enumerate(hashes):
+            grp = "hot" if i % 10 else rng.choice(["a", "b"])
+            data.append((grp, h, rng.randrange(1000)))
+        rows = spark.createDataFrame(data, "grp string, h long, v long")
+        naive = (
+            rows.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("grp").orderBy("h")),
+            )
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        got = sorted(map(tuple, bottom_k_by_hash(rows, k, salts).collect()))
+        want = sorted(map(tuple, naive.collect()))
+        assert got == want, f"seed={seed} k={k} salts={salts}"
